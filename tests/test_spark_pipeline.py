@@ -1,0 +1,129 @@
+"""Distributed-correctness tests: Spark output == single-node oracle,
+invariance across partition counts, byte-identical text extraction,
+triple P/R vs oracle (north_rule gates)."""
+
+import pytest
+
+from weak_supervision_for_ner_spark.operators.aggregate import majority_voter_mentions
+from weak_supervision_for_ner_spark.operators.annotate import (
+    annotate_pages,
+    mentions_from_annotated,
+)
+from weak_supervision_for_ner_spark.plans.oracle import (
+    oracle_annotate,
+    oracle_majority_mentions,
+    oracle_triples,
+)
+from weak_supervision_for_ner_spark.plans.pipeline import (
+    run_kg_pipeline,
+    verify_text_identity,
+)
+from weak_supervision_for_ner_spark.sources.pages import make_page, synth_pages
+
+N_DOCS = 120
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark):
+    return synth_pages(spark, N_DOCS, partitions=4).persist()
+
+
+@pytest.fixture(scope="module")
+def oracle_docs():
+    return oracle_annotate([make_page(i)[0] for i in range(N_DOCS)])
+
+
+def _mention_set(rows):
+    return {(r[0], r[1], int(r[2]), int(r[3]), r[4], round(float(r[5]), 6)) for r in rows}
+
+
+def test_spark_annotate_matches_oracle(spark, pages_df, oracle_docs):
+    spark_mentions = mentions_from_annotated(annotate_pages(pages_df)).collect()
+    got = _mention_set(
+        (r["url"], r["source"], r["start"], r["end"], r["label"], r["conf"])
+        for r in spark_mentions
+    )
+    want = _mention_set(
+        (d["url"], src, s, e, lab, conf)
+        for d in oracle_docs
+        for (src, s, e, lab, conf) in d["spans"]
+    )
+    assert got == want
+
+
+def test_partition_count_invariance(spark):
+    a = mentions_from_annotated(annotate_pages(synth_pages(spark, 60, partitions=1))).collect()
+    b = mentions_from_annotated(annotate_pages(synth_pages(spark, 60, partitions=7))).collect()
+    key = lambda r: (r["url"], r["source"], r["start"], r["end"], r["label"])
+    assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_majority_voter_matches_oracle(spark, pages_df, oracle_docs):
+    got = _mention_set(
+        (r["url"], r["source"], r["start"], r["end"], r["label"], r["conf"])
+        for r in majority_voter_mentions(annotate_pages(pages_df)).collect()
+    )
+    want = _mention_set(oracle_majority_mentions(oracle_docs))
+    assert got == want
+
+
+def test_text_extraction_byte_identical(spark, pages_df):
+    assert verify_text_identity(pages_df) == 0
+
+
+def test_kg_pipeline_triples_pr_vs_oracle(spark, pages_df, oracle_docs):
+    _, _, graph = run_kg_pipeline(spark, pages_df, aggregator="majority")
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["url"])
+        for r in graph.select("subj", "pred", "obj", "url").collect()
+    }
+    oracle_ments = oracle_majority_mentions(oracle_docs)
+    want = {(t[0], t[2], t[3], t[5]) for t in oracle_triples(oracle_docs, oracle_ments)}
+    assert want, "oracle should produce triples on the synthetic corpus"
+    tp = len(got & want)
+    precision = tp / max(len(got), 1)
+    recall = tp / max(len(want), 1)
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall, len(got), len(want))
+
+
+def test_graph_has_linked_and_canonical_ids(spark, pages_df):
+    _, _, graph = run_kg_pipeline(spark, pages_df, aggregator="majority")
+    rows = graph.collect()
+    assert rows
+    assert all(r["subj_id"] and r["obj_id"] for r in rows)
+    assert any(r["subj_id"].startswith("kb:") for r in rows), "entity linking should hit the KB"
+
+
+def test_hmm_spark_fit_and_decode(spark, tmp_path):
+    from weak_supervision_for_ner_spark.operators.hmm import HMMAggregator
+    from weak_supervision_for_ner_spark.plans.oracle import (
+        oracle_hmm_fit,
+        oracle_hmm_mentions,
+    )
+
+    pages = synth_pages(spark, 60, partitions=3)
+    annotated = annotate_pages(pages).persist()
+    model = HMMAggregator(n_iter=2)
+    model.fit_spark(spark, annotated, checkpoint_dir=str(tmp_path / "ckpt"))
+
+    oracle_docs = oracle_annotate([make_page(i)[0] for i in range(60)])
+    oracle_model = oracle_hmm_fit(oracle_docs, n_iter=2)
+
+    # identical seeded init + identical corpus stats => identical history
+    assert len(model.history) == len(oracle_model.history)
+    for a, b in zip(model.history, oracle_model.history):
+        assert a == pytest.approx(b, rel=1e-9)
+
+    got = _mention_set(
+        (r["url"], r["source"], r["start"], r["end"], r["label"], r["conf"])
+        for r in model.decode_spark(spark, annotated).collect()
+    )
+    want = _mention_set(oracle_hmm_mentions(oracle_model, oracle_docs))
+    assert got == want
+
+    # resume from checkpoint: skips completed iterations, same params
+    model2 = HMMAggregator(n_iter=2)
+    model2.fit_spark(spark, annotated, checkpoint_dir=str(tmp_path / "ckpt"), resume=True)
+    import numpy as np
+
+    assert np.allclose(model2.emission_probs, model.emission_probs)

@@ -1,0 +1,92 @@
+"""Token-level trie for gazetteer matching.
+
+Same capability as the reference trie (utils.py:7-98): longest-prefix
+search over token sequences with an optional case-insensitive mode
+(title/lower/upper alternatives per token), tuple values for
+ambiguous entries. Implementation is nested plain dicts (one dict per
+node, value under a sentinel key) — cheap to build on the driver and
+to ship via ``sc.broadcast`` (the broadcast-hash-join analogue for
+dictionary automata, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+_VALUE = 0  # sentinel key (ints never collide with str token keys)
+
+
+class TokenTrie:
+    __slots__ = ("root", "size")
+
+    def __init__(self) -> None:
+        self.root: dict = {}
+        self.size = 0
+
+    def insert(self, key: tuple[str, ...], value: Any) -> None:
+        node = self.root
+        for tok in key:
+            node = node.setdefault(tok, {})
+        if _VALUE not in node:
+            self.size += 1
+        node[_VALUE] = value
+
+    def add_class(self, key: tuple[str, ...], ne_class: str) -> None:
+        """Insert with tuple-of-classes merging (annotations.py:695-698)."""
+        cur = self.get(key)
+        if cur is None:
+            self.insert(key, (ne_class,))
+        elif ne_class not in cur:
+            self.insert(key, (*cur, ne_class))
+
+    def get(self, key: tuple[str, ...]) -> Any:
+        node = self.root
+        for tok in key:
+            node = node.get(tok)
+            if node is None:
+                return None
+        return node.get(_VALUE)
+
+    def __contains__(self, key: tuple[str, ...]) -> bool:
+        return self.get(key) is not None
+
+    def __len__(self) -> int:
+        return self.size
+
+    def longest_prefix(
+        self, tokens, case_sensitive: bool = True
+    ) -> tuple[int, Any]:
+        """Longest prefix of ``tokens`` present in the trie.
+
+        Returns (prefix_length_in_tokens, value); (0, None) if no hit.
+        Case-insensitive mode tries the exact form first, then
+        title/lower/upper alternatives (utils.py:31-42 semantics).
+        """
+        node = self.root
+        value = None
+        length = 0
+        for i, tok in enumerate(tokens):
+            nxt = node.get(tok)
+            if nxt is None and not case_sensitive:
+                for alt in (tok.title(), tok.lower(), tok.upper()):
+                    if alt != tok:
+                        nxt = node.get(alt)
+                        if nxt is not None:
+                            break
+            if nxt is None:
+                break
+            node = nxt
+            if _VALUE in node:
+                value = node[_VALUE]
+                length = i + 1
+        return length, value
+
+    def items(self) -> Iterator[tuple[tuple[str, ...], Any]]:
+        stack: list[tuple[tuple[str, ...], dict]] = [((), self.root)]
+        while stack:
+            prefix, node = stack.pop()
+            if _VALUE in node:
+                yield prefix, node[_VALUE]
+            for k, child in node.items():
+                if k != _VALUE:
+                    stack.append(((*prefix, k), child))

@@ -1,0 +1,473 @@
+"""Hidden-Markov-model label aggregator (Baum-Welch EM + Viterbi).
+
+From-scratch numpy re-implementation of the reference's HMMAnnotator
+(labelling.py:235-495). The reference inherits forward/backward/
+Viterbi from hmmlearn's C code; here they are explicit log-space
+numpy (≈60 LoC) as required by the north_star.
+
+Distributed execution (SURVEY.md §3.2):
+
+- priors initialisation = ONE fused mapInPandas pass producing
+  per-partition (init, trans, obs) count matrices (the reference makes
+  three tee'd generator passes, labelling.py:248-252) + driver sum;
+- each EM iteration = mapInPandas E-step emitting ONE partial-stats
+  row per partition (map-side combine) + driver-side final sum and
+  M-step; params re-broadcast per iteration;
+- per-iteration checkpoints (params + logprob) make the loop resumable
+  mid-pipeline (north_rule), and Spark accumulator-style counters
+  (docs, tokens) ride along in the stats rows as lineage metrics.
+
+Determinism: dirichlet inits are seeded (the reference's are not,
+labelling.py:332/357 — SURVEY.md §7.4 calls this out as required).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from weak_supervision_for_ner_spark.operators.aggregate import (
+    N_SOURCES,
+    N_STATES,
+    decode_biluo,
+    sequence_from_spans,
+)
+from weak_supervision_for_ner_spark.schema import (
+    MENTIONS_SCHEMA,
+    OUT_PRECISION,
+    OUT_RECALL,
+    POSITIONED_LABELS,
+    SOURCE_NAMES,
+    SOURCE_PRIORS,
+)
+
+_NINF = -np.inf
+
+
+# ---------------------------------------------------------------------------
+# Log-space DP kernels
+# ---------------------------------------------------------------------------
+
+def _logsumexp(a: np.ndarray, axis: int = -1) -> np.ndarray:
+    amax = np.max(a, axis=axis, keepdims=True)
+    amax_safe = np.where(np.isfinite(amax), amax, 0.0)
+    with np.errstate(divide="ignore"):
+        out = np.log(np.sum(np.exp(a - amax_safe), axis=axis)) + np.squeeze(amax_safe, axis)
+    return np.where(np.isfinite(np.squeeze(amax, axis)), out, _NINF)
+
+
+def forward_pass(log_start, log_trans, framelogprob):
+    T_len = len(framelogprob)
+    fwd = np.empty((T_len, N_STATES))
+    fwd[0] = log_start + framelogprob[0]
+    for t in range(1, T_len):
+        fwd[t] = _logsumexp(fwd[t - 1][:, None] + log_trans, axis=0) + framelogprob[t]
+    return _logsumexp(fwd[-1], axis=0), fwd
+
+
+def backward_pass(log_trans, framelogprob):
+    T_len = len(framelogprob)
+    bwd = np.zeros((T_len, N_STATES))
+    for t in range(T_len - 2, -1, -1):
+        bwd[t] = _logsumexp(log_trans + (framelogprob[t + 1] + bwd[t + 1])[None, :], axis=1)
+    return bwd
+
+
+def viterbi_pass(log_start, log_trans, framelogprob):
+    T_len = len(framelogprob)
+    delta = log_start + framelogprob[0]
+    backptr = np.empty((T_len, N_STATES), dtype=np.int32)
+    for t in range(1, T_len):
+        scores = delta[:, None] + log_trans
+        backptr[t] = scores.argmax(axis=0)
+        delta = scores[backptr[t], np.arange(N_STATES)] + framelogprob[t]
+    path = np.empty(T_len, dtype=np.int32)
+    path[-1] = int(delta.argmax())
+    for t in range(T_len - 2, -1, -1):
+        path[t] = backptr[t + 1, path[t + 1]]
+    return float(delta.max()), path
+
+
+# ---------------------------------------------------------------------------
+# The aggregator
+# ---------------------------------------------------------------------------
+
+class HMMAggregator:
+    """77-state HMM over multi-source BILUO observations."""
+
+    def __init__(self, source_name: str = "HMM", n_iter: int = 10,
+                 tol: float = 1e-2, seed: int = 42, informative_priors: bool = True):
+        self.source_name = source_name
+        self.n_iter = n_iter
+        self.tol = tol
+        self.seed = seed
+        self.informative_priors = informative_priors
+        self.startprob_prior = None
+        self.startprob_ = None
+        self.transmat_prior = None
+        self.transmat_ = None
+        self.emission_priors = None
+        self.emission_probs = None
+        self.history: list[float] = []
+
+    # -- priors --------------------------------------------------------
+
+    @staticmethod
+    def _best_coverage_source_index() -> int:
+        source = sorted(SOURCE_NAMES, key=lambda s: len(SOURCE_PRIORS[s]))[-1]
+        return SOURCE_NAMES.index(source)
+
+    def initialise(self, init_counts, trans_counts, obs_counts) -> None:
+        """Build priors from corpus count aggregations
+        (labelling.py:314-423 semantics, seeded RNG)."""
+        rng = np.random.default_rng(self.seed)
+        init_counts = init_counts.astype(np.float64).copy()
+        trans_counts = trans_counts.astype(np.float64).copy()
+        obs_counts = obs_counts.astype(np.float64).copy()
+
+        for i, label in enumerate(POSITIONED_LABELS):
+            if i == 0 or label[0] in "BU":
+                init_counts[i] += 1
+        self.startprob_prior = init_counts + 1
+        self.startprob_ = rng.dirichlet(init_counts + 1e-10)
+
+        for i, label in enumerate(POSITIONED_LABELS):
+            if label[0] in "BI":
+                trans_counts[i, POSITIONED_LABELS.index("I-" + label[2:])] += 1
+                trans_counts[i, POSITIONED_LABELS.index("L-" + label[2:])] += 1
+            elif i == 0 or label[0] in "UL":
+                for j, label2 in enumerate(POSITIONED_LABELS):
+                    if j == 0 or label2[0] in "BU":
+                        trans_counts[i, j] += 1
+        self.transmat_prior = trans_counts + 1
+        self.transmat_ = np.vstack(
+            [rng.dirichlet(row + 1e-10) for row in trans_counts]
+        )
+
+        self._initialise_emissions(obs_counts)
+
+    def _initialise_emissions(self, obs_counts: np.ndarray, strength: float = 1000.0):
+        """Emission priors from SOURCE_PRIORS P/R with boundary-error x5
+        and same-position x2 boosts (labelling.py:361-423)."""
+        for si, source in enumerate(SOURCE_NAMES):
+            obs_counts[si, 0] += 1
+            for pi, pos_label in enumerate(POSITIONED_LABELS[1:], start=1):
+                if pos_label[2:] in SOURCE_PRIORS[source]:
+                    obs_counts[si, pi] += 1
+        obs_probs = obs_counts / obs_counts.sum(axis=1, keepdims=True)
+
+        prior_prec = np.full((N_SOURCES, N_STATES), 1.0)
+        prior_rec = np.zeros((N_SOURCES, N_STATES))
+        for si, source in enumerate(SOURCE_NAMES):
+            for pi, pos_label in enumerate(POSITIONED_LABELS):
+                if pi == 0 or not self.informative_priors:
+                    prior_rec[si, pi] = OUT_RECALL
+                    prior_prec[si, pi] = OUT_PRECISION
+                elif pos_label[2:] in SOURCE_PRIORS[source]:
+                    p, r = SOURCE_PRIORS[source][pos_label[2:]]
+                    prior_prec[si, pi] = p
+                    prior_rec[si, pi] = r
+                # else: recall 0, precision 1.0 (reference defaults)
+
+        labels_arr = np.array([l[2:] if l != "O" else "" for l in POSITIONED_LABELS])
+        bilu_arr = np.array([l[0] for l in POSITIONED_LABELS])
+        same_label = (labels_arr[:, None] == labels_arr[None, :]) & (labels_arr[:, None] != "")
+        same_pos = (bilu_arr[:, None] == bilu_arr[None, :])
+        nontrivial = np.ones((N_STATES, N_STATES), bool)
+        nontrivial[0, :] = False
+        nontrivial[:, 0] = False
+
+        matrix = np.zeros((N_SOURCES, N_STATES, N_STATES))
+        eye = np.eye(N_STATES, dtype=bool)
+        for si in range(N_SOURCES):
+            recall = prior_rec[si]  # (S,)
+            matrix[si][eye] = recall
+            error = (
+                (1 - recall[:, None])
+                * (1 - prior_prec[si][None, :])
+                * (0.001 + obs_probs[si][None, :])
+            )
+            if self.informative_priors:
+                error = np.where(same_label & nontrivial, error * 5, error)
+                error = np.where(same_pos & nontrivial, error * 2, error)
+            error[eye] = 0.0
+            err_sum = error.sum(axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scale = np.where(err_sum > 0, (1 - recall) / err_sum, 0.0)
+            matrix[si] += error * scale[:, None]
+
+        self.emission_priors = matrix * strength
+        self.emission_probs = matrix
+
+    # -- likelihood / EM -------------------------------------------------
+
+    def framelogprob(self, X: np.ndarray) -> np.ndarray:
+        """log Σ_sources X·emissionᵀ with masked -inf and the
+        zero-observation constraint (labelling.py:434-448)."""
+        logsum = np.zeros((len(X), N_STATES))
+        Xd = X.astype(np.float64, copy=False)
+        for si in range(N_SOURCES):
+            probs = Xd[:, si, :] @ self.emission_probs[si].T
+            with np.errstate(divide="ignore"):
+                logsum += np.where(probs > 0, np.log(np.maximum(probs, 1e-300)), _NINF)
+        observed = X.sum(axis=1).astype(bool)
+        return np.where(observed, logsum, _NINF)
+
+    def e_step(self, X: np.ndarray):
+        """One document's sufficient statistics."""
+        frame = self.framelogprob(X)
+        with np.errstate(divide="ignore"):
+            log_start = np.log(self.startprob_)
+            log_trans = np.log(self.transmat_)
+        logprob, fwd = forward_pass(log_start, log_trans, frame)
+        bwd = backward_pass(log_trans, frame)
+        log_gamma = fwd + bwd
+        log_gamma -= _logsumexp(log_gamma, axis=1)[:, None]
+        posteriors = np.exp(log_gamma)
+
+        start = posteriors[0]
+        if len(X) > 1:
+            with np.errstate(invalid="ignore"):
+                xi = np.exp(
+                    fwd[:-1, :, None]
+                    + log_trans[None, :, :]
+                    + (frame[1:] + bwd[1:])[:, None, :]
+                    - logprob
+                )
+            xi = np.nan_to_num(xi, nan=0.0, posinf=0.0)
+            trans = xi.sum(axis=0)
+        else:
+            trans = np.zeros((N_STATES, N_STATES))
+        # obs[s, k, j] += X[t, s, j] * posteriors[t, k]  (labelling.py:473-480)
+        obs = (
+            X.reshape(len(X), -1).astype(np.float64).T @ posteriors
+        ).reshape(N_SOURCES, N_STATES, N_STATES).transpose(0, 2, 1)
+        return logprob, start, trans, obs
+
+    def m_step(self, start, trans, obs) -> None:
+        """Dirichlet-MAP re-estimation masked to initial support
+        (labelling.py:462-468 + hmmlearn _do_mstep semantics)."""
+        sp = np.maximum(self.startprob_prior - 1 + start, 0)
+        self.startprob_ = np.where(self.startprob_ == 0, 0, sp)
+        self.startprob_ /= self.startprob_.sum()
+        tm = np.maximum(self.transmat_prior - 1 + trans, 0)
+        tm = np.where(self.transmat_ == 0, 0, tm)
+        self.transmat_ = tm / np.maximum(tm.sum(axis=1, keepdims=True), 1e-100)
+        counts = self.emission_priors + obs
+        probs = counts / (counts + 1e-100).sum(axis=2, keepdims=True)
+        self.emission_probs = np.where(self.emission_probs > 0, probs, 0)
+
+    def label(self, X: np.ndarray):
+        """Viterbi decode one doc -> (state path, per-token confidence)
+        (labelling.py:291-311)."""
+        frame = self.framelogprob(X)
+        with np.errstate(divide="ignore"):
+            _, path = viterbi_pass(np.log(self.startprob_), np.log(self.transmat_), frame)
+        proba = np.exp(frame - _logsumexp(frame, axis=1)[:, None])
+        confidences = proba[np.arange(len(X)), path]
+        return path, confidences
+
+    # -- persistence ------------------------------------------------------
+
+    def save(self, path: str, iteration: int | None = None, logprob: float | None = None):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez_compressed(
+            path,
+            startprob_prior=self.startprob_prior, startprob=self.startprob_,
+            transmat_prior=self.transmat_prior, transmat=self.transmat_,
+            emission_priors=self.emission_priors, emission_probs=self.emission_probs,
+        )
+        meta = {"iteration": iteration, "logprob": logprob, "history": self.history,
+                "n_states": N_STATES, "n_sources": N_SOURCES}
+        with open(path + ".meta.json", "w") as fd:
+            json.dump(meta, fd)
+
+    def load(self, path: str) -> "HMMAggregator":
+        data = np.load(path if path.endswith(".npz") else path + ".npz")
+        self.startprob_prior = data["startprob_prior"]
+        self.startprob_ = data["startprob"]
+        self.transmat_prior = data["transmat_prior"]
+        self.transmat_ = data["transmat"]
+        self.emission_priors = data["emission_priors"]
+        self.emission_probs = data["emission_probs"]
+        meta_path = (path[:-4] if path.endswith(".npz") else path) + ".meta.json"
+        if os.path.exists(meta_path):
+            with open(meta_path) as fd:
+                self.history = json.load(fd).get("history", [])
+        return self
+
+    # -- Spark driver loop -------------------------------------------------
+
+    def fit_spark(
+        self,
+        spark: SparkSession,
+        annotated: DataFrame,
+        checkpoint_dir: str | None = None,
+        resume: bool = False,
+    ) -> "HMMAggregator":
+        """Baum-Welch over an annotated DataFrame.
+
+        Per iteration: ONE narrow mapInPandas pass emitting one
+        partial-stats row per partition (map-side combine), final sum
+        on the driver (32 partitions -> 32 rows; use treeReduce depth 2
+        beyond ~1000 partitions), numpy M-step, checkpoint, re-broadcast.
+        """
+        annotated = annotated.select("tokens", "spans")
+
+        start_iter = 0
+        if resume and checkpoint_dir:
+            latest = _latest_checkpoint(checkpoint_dir)
+            if latest is not None:
+                self.load(latest[1])
+                start_iter = latest[0] + 1
+
+        if self.startprob_ is None:
+            counts = _collect_prior_counts(annotated, self._best_coverage_source_index())
+            self.initialise(*counts)
+            if checkpoint_dir:
+                self.save(os.path.join(checkpoint_dir, "iter_init"), -1, None)
+
+        sc = spark.sparkContext
+        prev_logprob = self.history[-1] if self.history else None
+        for iteration in range(start_iter, self.n_iter):
+            params_bc = sc.broadcast(
+                (self.startprob_, self.transmat_, self.emission_probs,
+                 self.emission_priors, self.startprob_prior, self.transmat_prior)
+            )
+            agg = self
+
+            def e_step_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                sp, tm, ep, epr, spp, tmp = params_bc.value
+                model = HMMAggregator.__new__(HMMAggregator)
+                model.startprob_, model.transmat_, model.emission_probs = sp, tm, ep
+                logprob = 0.0
+                n_docs = 0
+                n_tokens = 0
+                start = np.zeros(N_STATES)
+                trans = np.zeros((N_STATES, N_STATES))
+                obs = np.zeros((N_SOURCES, N_STATES, N_STATES))
+                for pdf in batches:
+                    for tokens, spans in zip(pdf["tokens"], pdf["spans"]):
+                        if len(tokens) == 0:
+                            continue
+                        X = sequence_from_spans(list(spans), len(tokens))
+                        lp, st, tr, ob = model.e_step(X)
+                        logprob += lp
+                        start += st
+                        trans += tr
+                        obs += ob
+                        n_docs += 1
+                        n_tokens += len(tokens)
+                yield pd.DataFrame({
+                    "logprob": [logprob], "n_docs": [n_docs], "n_tokens": [n_tokens],
+                    "start": [start.tobytes()], "trans": [trans.tobytes()],
+                    "obs": [obs.tobytes()],
+                })
+
+            schema = T.StructType([
+                T.StructField("logprob", T.DoubleType()),
+                T.StructField("n_docs", T.LongType()),
+                T.StructField("n_tokens", T.LongType()),
+                T.StructField("start", T.BinaryType()),
+                T.StructField("trans", T.BinaryType()),
+                T.StructField("obs", T.BinaryType()),
+            ])
+            rows = annotated.mapInPandas(e_step_partition, schema=schema).collect()
+            params_bc.destroy()
+
+            curr_logprob = sum(r["logprob"] for r in rows)
+            n_docs = sum(r["n_docs"] for r in rows)
+            start = sum(np.frombuffer(r["start"]).reshape(N_STATES) for r in rows)
+            trans = sum(np.frombuffer(r["trans"]).reshape(N_STATES, N_STATES) for r in rows)
+            obs = sum(np.frombuffer(r["obs"]).reshape(N_SOURCES, N_STATES, N_STATES) for r in rows)
+
+            self.m_step(start, trans, obs)
+            self.history.append(float(curr_logprob))
+            if checkpoint_dir:
+                self.save(os.path.join(checkpoint_dir, f"iter_{iteration:03d}"),
+                          iteration, float(curr_logprob))
+            if prev_logprob is not None and abs(curr_logprob - prev_logprob) < self.tol * max(n_docs, 1):
+                break
+            prev_logprob = curr_logprob
+        return self
+
+    def decode_spark(self, spark: SparkSession, annotated: DataFrame) -> DataFrame:
+        """Stateless Viterbi decode: annotated -> HMM mention rows."""
+        params_bc = spark.sparkContext.broadcast(
+            (self.startprob_, self.transmat_, self.emission_probs)
+        )
+        source_name = self.source_name
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            sp, tm, ep = params_bc.value
+            model = HMMAggregator.__new__(HMMAggregator)
+            model.startprob_, model.transmat_, model.emission_probs = sp, tm, ep
+            for pdf in batches:
+                rows = []
+                for url, tokens, spans in zip(pdf["url"], pdf["tokens"], pdf["spans"]):
+                    if len(tokens) == 0:
+                        continue
+                    X = sequence_from_spans(list(spans), len(tokens))
+                    path, confs = model.label(X)
+                    for (s, e), (lab, conf) in decode_biluo(path, confs).items():
+                        rows.append((url, source_name, s, e, lab, conf,
+                                     " ".join(tokens[s:e])))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["url", "source", "start", "end", "label", "conf", "text"],
+                )
+
+        return annotated.mapInPandas(run, schema=MENTIONS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Prior-count aggregation pass (fused replacement for the reference's
+# three tee'd streams, labelling.py:248-252)
+# ---------------------------------------------------------------------------
+
+def _collect_prior_counts(annotated: DataFrame, best_source_index: int):
+    def count_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        init = np.zeros(N_STATES)
+        trans = np.zeros((N_STATES, N_STATES))
+        obs = np.zeros((N_SOURCES, N_STATES))
+        for pdf in batches:
+            for tokens, spans in zip(pdf["tokens"], pdf["spans"]):
+                if len(tokens) == 0:
+                    continue
+                X = sequence_from_spans(list(spans), len(tokens))
+                best = X[:, best_source_index, :].argmax(axis=1)
+                init[best[0]] += 1
+                np.add.at(trans, (best[:-1], best[1:]), 1.0)
+                obs += X.sum(axis=0)
+        yield pd.DataFrame({
+            "init": [init.tobytes()], "trans": [trans.tobytes()], "obs": [obs.tobytes()],
+        })
+
+    schema = T.StructType([
+        T.StructField("init", T.BinaryType()),
+        T.StructField("trans", T.BinaryType()),
+        T.StructField("obs", T.BinaryType()),
+    ])
+    rows = annotated.mapInPandas(count_partition, schema=schema).collect()
+    init = sum(np.frombuffer(r["init"]).reshape(N_STATES) for r in rows)
+    trans = sum(np.frombuffer(r["trans"]).reshape(N_STATES, N_STATES) for r in rows)
+    obs = sum(np.frombuffer(r["obs"]).reshape(N_SOURCES, N_STATES) for r in rows)
+    return init, trans, obs
+
+
+def _latest_checkpoint(checkpoint_dir: str):
+    if not os.path.isdir(checkpoint_dir):
+        return None
+    best = None
+    for name in os.listdir(checkpoint_dir):
+        if name.startswith("iter_") and name.endswith(".npz") and "init" not in name:
+            it = int(name[5:8])
+            if best is None or it > best[0]:
+                best = (it, os.path.join(checkpoint_dir, name))
+    return best

