@@ -1,0 +1,190 @@
+"""Dedup / similarity / text-stats / eval / multimodal operators on
+tiny in-memory tables with hand-computed expectations."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat today"),
+        (2, "the cat sat on the mat today"),          # exact dup of 1
+        (3, "the cat sat on the mat yesterday"),       # near dup of 1
+        (4, "completely different words entirely here"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    from weak_supervision_for_ner_spark.operators.dedup import exact_duplicates
+
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [1, 2]
+
+
+def test_ngram_jaccard(spark, docs):
+    from weak_supervision_for_ner_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, 0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    # doc1 has 5 shingles, doc3 has 5, share 4 -> 4/6
+    assert pairs[(1, 3)] == pytest.approx(4 / 6, abs=1e-6)
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_finds_exact_dups(spark, docs):
+    from weak_supervision_for_ner_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {(r["a"], r["b"]) for r in minhash_lsh_pairs(docs, n_hashes=4, bands=2).collect()}
+    assert (1, 2) in pairs
+
+
+def test_simhash_identical_docs_distance_zero(spark, docs):
+    from weak_supervision_for_ner_spark.operators.dedup import simhash_near_pairs
+
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_near_pairs(docs, 10).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_embedding_near_duplicates(spark):
+    from weak_supervision_for_ner_spark.operators.dedup import embedding_near_duplicates
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.01, 0.0]),   # ~same direction
+        (3, [0.0, 1.0, 0.0]),    # orthogonal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["a"], r["b"]): r["cosine"] for r in embedding_near_duplicates(emb, 0.9).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert (1, 3) not in pairs
+
+
+def test_brute_force_topk_ordering(spark):
+    from weak_supervision_for_ner_spark.operators.similarity import brute_force_topk
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.05]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id = 0").selectExpr("vec_id as query_id", "embedding")
+    got = [(r["neighbor_id"], r["rank"]) for r in
+           brute_force_topk(emb, q, k=3).orderBy("rank").collect()]
+    assert got == [(3, 1), (1, 2), (2, 3)]
+
+
+def test_lsh_topk_subset_of_bucket(spark):
+    from weak_supervision_for_ner_spark.operators.similarity import lsh_topk
+
+    rows = [(i, [float(i == j) + 0.01 * j for j in range(4)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id < 2").selectExpr("vec_id as query_id", "embedding")
+    out = lsh_topk(emb, q, k=3, n_planes=2, dim=4)
+    rows_out = out.collect()
+    # approximate: every returned neighbour must at least share the bucket
+    assert all(r["rank"] <= 3 for r in rows_out)
+
+
+def test_language_id(spark):
+    from weak_supervision_for_ner_spark.operators.textstats import language_id
+
+    rows = [
+        (1, "the cat is in the house and that was it"),
+        (2, "el gato que se fue de la casa y los perros"),
+        (3, "der hund und die katze von dem haus ist da"),
+        (4, "xyzzy qwerty plugh"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_guess"] for r in language_id(docs).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+
+def test_quality_and_token_counts(spark):
+    from weak_supervision_for_ner_spark.operators.textstats import (
+        quality_scores,
+        token_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"), (2, "!!! ??? ...")],
+        "doc_id long, text string",
+    )
+    q = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    assert q[1]["quality"] > q[2]["quality"]
+    assert q[1]["n_tokens"] == 9
+    t = {r["doc_id"]: r["ws_tokens"] for r in token_counts(docs).collect()}
+    assert t[1] == 9
+
+
+def test_fingerprints_normalization(spark):
+    from weak_supervision_for_ner_spark.operators.textstats import fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "goodbye")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r for r in fingerprints(docs).collect()}
+    assert fp[1]["md5_exact"] != fp[2]["md5_exact"]
+    assert fp[1]["md5_normalized"] == fp[2]["md5_normalized"]
+    assert fp[1]["md5_normalized"] != fp[3]["md5_normalized"]
+
+
+def test_evaluate_mentions_counts(spark):
+    from weak_supervision_for_ner_spark.operators.evaluate import evaluate_mentions
+
+    gold = spark.createDataFrame(
+        [("u1", 0, 2, "PERSON"), ("u1", 4, 5, "GPE"), ("u2", 0, 1, "GPE")],
+        "url string, start int, end int, label string",
+    )
+    pred = spark.createDataFrame(
+        [("u1", 0, 2, "PERSON", 0.9), ("u1", 4, 5, "ORG", 0.9), ("u2", 0, 1, "GPE", 0.4)],
+        "url string, start int, end int, label string, conf double",
+    )
+    rows = {r["label"]: r for r in evaluate_mentions(gold, pred).collect()}
+    # PERSON: tp=1 -> P=R=1; GPE: conf 0.4 filtered + wrong label -> R=0
+    assert rows["PERSON"]["entity_precision"] == 1.0
+    assert rows["PERSON"]["entity_recall"] == 1.0
+    assert rows["GPE"]["entity_recall"] == 0.0
+    assert rows["ORG"]["entity_precision"] == 0.0  # 1 FP, no gold
+    assert rows["micro"]["entity_precision"] == 0.5
+    assert rows["micro"]["entity_recall"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_multimodal_features_with_fake_decoder(spark):
+    from weak_supervision_for_ner_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        [("m1", "image", "image/png", bytearray(b"AAA"), None, None, None),
+         ("m2", "image", "image/png", bytearray(b"BBB"), None, None, None),
+         ("m3", "audio", "audio/wav", bytearray(b"AAA"), None, None, None)],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    feats = {
+        r["media_id"]: r
+        for r in mm.extract_features(
+            media, dim=8, decoder=mm.deterministic_fake_decoder
+        ).collect()
+    }
+    assert len(feats["m1"]["feature"]) == 8
+    assert feats["m1"]["sha1"] == feats["m3"]["sha1"]           # same payload
+    assert feats["m1"]["feature"] == feats["m3"]["feature"]      # deterministic
+    assert feats["m1"]["feature"] != feats["m2"]["feature"]
+    stats = {(r["kind"], r["mime"]): r["n"] for r in mm.media_stats(media).collect()}
+    assert stats[("image", "image/png")] == 2
+
+
+def test_multimodal_unregistered_decoder_raises(spark):
+    from weak_supervision_for_ner_spark.operators import multimodal as mm
+
+    mm._DECODER = None
+    media = spark.createDataFrame(
+        [("m1", "image", "image/png", bytearray(b"A"), None, None, None)],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="(?i)decoder|NotImplemented|PythonException"):
+        mm.extract_features(media).collect()

@@ -123,6 +123,63 @@ def sequence_from_spans(spans: list, n_tokens: int) -> np.ndarray:
 # Majority voter (labelling.py:503-531)
 # ---------------------------------------------------------------------------
 
+def majority_vote_sparse(layers: Layers, n_tokens: int, nb_sources_threshold: int = 4):
+    """Sparse majority vote, identical semantics to
+    ``majority_vote(extract_sequence(layers))`` but computed from the
+    span lists directly — avoids materializing the dense
+    (T, sources, states) tensor whose memory traffic dominates and
+    caps multi-core scaling. Call on specialised layers.
+
+    Replicates the dense argmax exactly: per (token, source) the vote
+    is the positioned label with max confidence, ties broken by the
+    SMALLEST state index (np.argmax first-max rule); tokens covered by
+    no span vote O."""
+    # best[(t, s)] = (conf, -state) maximum => argmax with min-index tie-break
+    best: dict[int, tuple[float, int]] = {}
+    for source, layer in layers.items():
+        si = SOURCE_INDICES.get(source)
+        if si is None:
+            continue
+        for (start, end), vals in layer.items():
+            if start >= n_tokens:
+                continue
+            end = min(end, n_tokens)
+            for label, conf in vals:
+                # conf <= 0 cells lose the dense argmax to O — skip them
+                if label in GENERIC_LABELS or conf <= 0:
+                    continue
+                if end - start == 1:
+                    positioned = ((start, LABEL_INDICES[f"U-{label}"]),)
+                else:
+                    positioned = tuple(
+                        (t, LABEL_INDICES[
+                            f"B-{label}" if t == start
+                            else (f"L-{label}" if t == end - 1 else f"I-{label}")
+                        ])
+                        for t in range(start, end)
+                    )
+                for t, state in positioned:
+                    key = t * N_SOURCES + si
+                    cur = best.get(key)
+                    if cur is None or (conf, -state) > cur:
+                        best[key] = (conf, -state)
+
+    counts = np.zeros((n_tokens, N_STATES))
+    counts[:, 0] = N_SOURCES
+    for key, (_conf, neg_state) in best.items():
+        t = key // N_SOURCES
+        counts[t, -neg_state] += 1.0
+        counts[t, 0] -= 1.0
+    non_o = counts[:, 1:]
+    fired = non_o.sum(axis=1)
+    states = np.where(fired >= nb_sources_threshold, non_o.argmax(axis=1) + 1, 0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        conf_label = non_o.max(axis=1) / np.where(fired > 0, fired, 1.0)
+    conf_o = counts[:, 0] / N_SOURCES
+    confidences = np.where(states > 0, conf_label, conf_o)
+    return states, confidences
+
+
 def majority_vote(X: np.ndarray, nb_sources_threshold: int = 4):
     """Per-token majority over the sources' argmax labels; emit a label
     when >= threshold sources fire. Returns (state_indices, confidences)."""
@@ -185,8 +242,10 @@ def majority_voter_mentions(
         for pdf in batches:
             rows = []
             for url, tokens, spans in zip(pdf["url"], pdf["tokens"], pdf["spans"]):
-                X = sequence_from_spans(list(spans), len(tokens))
-                states, confs = majority_vote(X, nb_sources_threshold)
+                layers = specialise_layers(layers_from_spans(list(spans)))
+                states, confs = majority_vote_sparse(
+                    layers, len(tokens), nb_sources_threshold
+                )
                 for (start, end), (label, conf) in decode_biluo(states, confs).items():
                     rows.append(
                         (url, source_name, start, end, label, conf,

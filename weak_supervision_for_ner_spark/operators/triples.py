@@ -83,6 +83,79 @@ def extract_triples_from_doc(
     return out
 
 
+def extract_triples_direct(pages: DataFrame, nb_sources_threshold: int = 4,
+                           lang: str = "en") -> DataFrame:
+    """Maximal fusion: pages → annotate → specialise → majority-vote →
+    SVO triples in ONE Arrow stage. On the graph path the span table
+    never crosses the Arrow boundary at all — used by the pipeline
+    when the aggregator is per-doc recomputable (majority voting)."""
+    from weak_supervision_for_ner_spark.operators.aggregate import (
+        decode_biluo,
+        layers_from_spans,
+        majority_vote_sparse,
+        specialise_layers,
+    )
+    from weak_supervision_for_ner_spark.operators.annotate import annotate_batch
+
+    selected = pages.filter(F.col("lang") == lang).select("url", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, (tokens, spans) in zip(pdf["url"], annotate_batch(pdf["text"])):
+                layers = specialise_layers(layers_from_spans(spans))
+                states, confs = majority_vote_sparse(
+                    layers, len(tokens), nb_sources_threshold
+                )
+                ments = [
+                    (s, e, lab, conf)
+                    for (s, e), (lab, conf) in decode_biluo(states, confs).items()
+                ]
+                rows.extend(extract_triples_from_doc(url, tokens, ments))
+            yield pd.DataFrame(
+                rows,
+                columns=["subj", "subj_type", "pred", "obj", "obj_type", "url", "conf"],
+            )
+
+    return selected.mapInPandas(run, schema=TRIPLES_SCHEMA)
+
+
+def extract_triples_fused(annotated: DataFrame, nb_sources_threshold: int = 4) -> DataFrame:
+    """Zero-shuffle triple extraction: re-derive the majority-voter
+    mentions per doc (cheap vectorized numpy) INSIDE the same Arrow
+    batch and run the SVO rule — the whole pages→triples path stays one
+    narrow stage. Preferred in the pipeline over
+    :func:`extract_triples`, which exists for aggregators whose
+    mentions are not per-doc recomputable (e.g. a trained HMM)."""
+    from weak_supervision_for_ner_spark.operators.aggregate import (
+        decode_biluo,
+        layers_from_spans,
+        majority_vote_sparse,
+        specialise_layers,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, tokens, spans in zip(pdf["url"], pdf["tokens"], pdf["spans"]):
+                tokens = list(tokens)
+                layers = specialise_layers(layers_from_spans(list(spans)))
+                states, confs = majority_vote_sparse(
+                    layers, len(tokens), nb_sources_threshold
+                )
+                ments = [
+                    (s, e, lab, conf)
+                    for (s, e), (lab, conf) in decode_biluo(states, confs).items()
+                ]
+                rows.extend(extract_triples_from_doc(url, tokens, ments))
+            yield pd.DataFrame(
+                rows,
+                columns=["subj", "subj_type", "pred", "obj", "obj_type", "url", "conf"],
+            )
+
+    return annotated.mapInPandas(run, schema=TRIPLES_SCHEMA)
+
+
 def extract_triples(annotated: DataFrame, mentions: DataFrame) -> DataFrame:
     """Join aggregated mentions back onto tokens (co-partitioned equi
     join on url) and run the SVO rule per doc inside Arrow batches."""
@@ -118,11 +191,26 @@ def link_entities(spark: SparkSession, triples: DataFrame) -> DataFrame:
     entities keep a surface-form id to be canonicalized by LSH."""
     from weak_supervision_for_ner_spark.sources.gazetteer import canonical_entity_ids
 
-    kb = spark.createDataFrame(
-        [(k, v) for k, v in sorted(canonical_entity_ids().items())],
-        schema="surface string, kb_id string",
-    )
+    ids = canonical_entity_ids()
     out = triples
+    if len(ids) <= 10_000:
+        # Small dictionary: a literal MAP lookup folds into the existing
+        # projection — zero joins, zero extra stages. (The reference's
+        # in-process dict lookup, expressed in Catalyst.)
+        entries = [x for k, v in sorted(ids.items()) for x in (F.lit(k), F.lit(v))]
+        kb_map = F.create_map(*entries)
+        for side in ("subj", "obj"):
+            norm = F.lower(F.regexp_replace(F.col(side), r"\s+", " "))
+            out = (
+                out.withColumn(f"{side}_norm", norm)
+                .withColumn(f"{side}_kb", F.element_at(kb_map, F.col(f"{side}_norm")))
+            )
+        return out
+    # Large KB: Arrow-backed LocalRelation (no Python-RDD stage per
+    # broadcast exchange) + broadcast hash joins.
+    kb = spark.createDataFrame(
+        pd.DataFrame(sorted(ids.items()), columns=["surface", "kb_id"])
+    )
     for side in ("subj", "obj"):
         out = (
             out
@@ -171,16 +259,22 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signatures, groupBy (band, key) and emit intra-bucket
     pairs. Buckets above ``max_bucket`` are dropped with a counted
-    lineage metric (skew guard for boilerplate mega-buckets)."""
+    lineage metric (skew guard for boilerplate mega-buckets).
+
+    Banding is a single pass: the per-band bucket keys become an array
+    column that is exploded — no n-way union re-reading the input."""
     rows_per_band = n_hashes // bands
-    banded = None
-    for b in range(bands):
-        cols = [f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        part = signatures.select(
-            F.col(id_col), F.lit(b).alias("band"),
-            F.xxhash64(*cols).alias("bucket"),
+    band_keys = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]).alias("bucket"),
         )
-        banded = part if banded is None else banded.unionByName(part)
+        for b in range(bands)
+    ])
+    banded = (
+        signatures.select(F.col(id_col), F.explode(band_keys).alias("bk"))
+        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    )
 
     bucketed = banded.groupBy("band", "bucket").agg(
         F.collect_list(id_col).alias("members"), F.count(F.lit(1)).alias("sz")
@@ -198,14 +292,32 @@ def lsh_candidate_pairs(
     return pairs
 
 
-def connected_components(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_rounds: int = 3, convergence_check: bool = False
+) -> DataFrame:
     """Smallest-id label propagation over an undirected pair list.
-    Iterative self-join; converges in O(log n) rounds for the short
-    chains LSH produces. Returns (name, canonical)."""
+    Returns (name, canonical).
+
+    Default mode unrolls ``max_rounds`` propagation joins LAZILY into
+    one plan — a single action executes the whole loop, so the
+    per-round job/checkpoint overhead that dominates at small scale
+    disappears. LSH near-dup chains have tiny diameter, so 3 rounds
+    converge in practice. ``convergence_check=True`` switches to the
+    classic materialize-per-round loop (localCheckpoint + changed
+    count) for unbounded components — use it when component diameter
+    is unknown (and set a cluster checkpoint dir at real scale)."""
+    # Symmetric edges from ONE explode pass, not a self-union (a
+    # self-union of an uncached upstream computes it twice in one job).
     edges = (
-        pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
-        .union(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
-    )
+        pairs.select(
+            F.explode(F.array(
+                F.struct(F.col("a").alias("x"), F.col("b").alias("y")),
+                F.struct(F.col("b").alias("x"), F.col("a").alias("y")),
+            )).alias("e")
+        )
+        .select("e.x", "e.y")
+    ).persist()
+    edges.count()  # materialize once: rounds below re-scan the cache
     labels = (
         edges.groupBy("x").agg(F.min("y").alias("min_y"))
         .select(F.col("x").alias("name"),
@@ -224,14 +336,17 @@ def connected_components(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
                 F.least(F.col("canonical"), F.coalesce("n_min", "canonical")).alias("canonical"),
             )
         )
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), on="name")
-            .filter(F.col("n.canonical") != F.col("o.canonical"))
-            .limit(1).count()
-        )
+        if convergence_check:
+            new_labels = new_labels.localCheckpoint()
+            changed = (
+                new_labels.alias("n").join(labels.alias("o"), on="name")
+                .filter(F.col("n.canonical") != F.col("o.canonical"))
+                .limit(1).count()
+            )
+            if changed == 0:
+                labels = new_labels
+                break
         labels = new_labels
-        if changed == 0:
-            break
     return labels
 
 
@@ -240,9 +355,17 @@ def canonicalize_triples(
 ) -> DataFrame:
     """Map every unlinked surface form to a canonical representative
     via minhash-LSH + connected components, then finalize ids."""
+    linked = linked.persist()  # read by the LSH pass and the final rewrite
+    # Single-pass extraction of unlinked surface forms (explode, not a
+    # self-union that would double-compute the uncached upstream).
     unlinked = (
-        linked.filter(F.col("subj_kb").isNull()).select(F.col("subj_norm").alias("name"))
-        .union(linked.filter(F.col("obj_kb").isNull()).select(F.col("obj_norm").alias("name")))
+        linked.select(
+            F.explode(F.array(
+                F.when(F.col("subj_kb").isNull(), F.col("subj_norm")),
+                F.when(F.col("obj_kb").isNull(), F.col("obj_norm")),
+            )).alias("name")
+        )
+        .filter(F.col("name").isNotNull())
         .distinct()
     )
     sigs = minhash_signatures(unlinked, "name", n_hashes)

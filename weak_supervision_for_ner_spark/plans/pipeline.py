@@ -24,6 +24,7 @@ from weak_supervision_for_ner_spark.operators.hmm import HMMAggregator
 from weak_supervision_for_ner_spark.operators.triples import (
     canonicalize_triples,
     extract_triples,
+    extract_triples_direct,
     link_entities,
     materialize_graph,
 )
@@ -39,9 +40,9 @@ class Lineage:
         self.records: list[dict] = []
 
     def stage(self, name: str, df: DataFrame | None = None, **extra) -> None:
+        # NOTE: never call df.rdd here — under AQE, materializing the
+        # RDD executes the whole query just to read its partitioning.
         rec = {"stage": name, "ts": time.time(), **extra}
-        if df is not None:
-            rec["partitions"] = df.rdd.getNumPartitions()
         self.records.append(rec)
         if self.path:
             os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
@@ -64,9 +65,10 @@ def run_kg_pipeline(
     """
     lineage = Lineage(lineage_path)
 
-    annotated = annotate_pages(pages)
+    # The annotated table feeds the aggregator AND the triple join;
+    # persist it so the (expensive) labelling stage runs exactly once.
+    annotated = annotate_pages(pages).persist()
     if aggregator == "hmm":
-        annotated = annotated.persist()
         model = HMMAggregator(n_iter=hmm_iters)
         model.fit_spark(spark, annotated, checkpoint_dir=checkpoint_dir, resume=True)
         mentions = model.decode_spark(spark, annotated)
@@ -74,9 +76,16 @@ def run_kg_pipeline(
                       logprob=model.history[-1] if model.history else None)
     else:
         mentions = majority_voter_mentions(annotated)
+    mentions = mentions.persist()
     lineage.stage("aggregate", mentions)
 
-    raw_triples = extract_triples(annotated, mentions)
+    if aggregator == "hmm":
+        # trained-model mentions are not per-doc recomputable: join path
+        raw_triples = extract_triples(annotated, mentions)
+    else:
+        # majority voting is: maximally-fused single python stage over
+        # pages — span structs never cross Arrow on the graph path
+        raw_triples = extract_triples_direct(pages)
     linked = link_entities(spark, raw_triples)
     canonical = canonicalize_triples(spark, linked)
     graph = materialize_graph(canonical)

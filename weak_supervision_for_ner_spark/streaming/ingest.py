@@ -1,0 +1,96 @@
+"""Structured Streaming ingestion of the pages table.
+
+The reference is a pure batch pipeline (SURVEY.md §2.11); streaming is
+an engine extension: continuously annotate newly crawled pages and
+append mentions to the sink. The annotation stage is the SAME
+stateless ``mapInPandas`` used in batch — Structured Streaming reuses
+it unchanged (incrementalized by the engine), with a watermark on
+``warc_ts`` for the windowed rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from weak_supervision_for_ner_spark.operators.annotate import (
+    annotate_pages,
+    mentions_from_annotated,
+)
+from weak_supervision_for_ner_spark.schema import PAGES_SCHEMA
+
+
+def read_pages_stream(spark: SparkSession, path: str, max_files: int = 4) -> DataFrame:
+    """File-source stream over a directory of pages parquet files
+    (Iceberg/Kafka sources swap in via .format at production scale)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def streaming_mentions(pages_stream: DataFrame) -> DataFrame:
+    """Stateless streaming annotation: identical operator as batch."""
+    return mentions_from_annotated(annotate_pages(pages_stream))
+
+
+def annotate_pages_with_ts(pages: DataFrame, lang: str = "en") -> DataFrame:
+    """Annotation stage that carries ``warc_ts`` through the narrow
+    stage (streaming variant; same per-doc core as batch)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from weak_supervision_for_ner_spark.operators.annotate import annotate_batch
+    from weak_supervision_for_ner_spark.schema import ANNOTATED_SCHEMA
+
+    schema = T.StructType(
+        [*ANNOTATED_SCHEMA.fields, T.StructField("warc_ts", T.TimestampType())]
+    )
+    selected = pages.filter(F.col("lang") == lang).select("url", "warc_ts", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            annotated = annotate_batch(pdf["text"])
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"].values,
+                    "tokens": [a[0] for a in annotated],
+                    "spans": [a[1] for a in annotated],
+                    "warc_ts": pdf["warc_ts"].values,
+                }
+            )
+
+    return selected.mapInPandas(run, schema=schema)
+
+
+def streaming_mention_counts(pages_stream: DataFrame) -> DataFrame:
+    """Event-time windowed rollup with late-data watermark: mentions
+    per (10-minute window, label)."""
+    annotated = annotate_pages_with_ts(pages_stream).withWatermark("warc_ts", "30 minutes")
+    mentions = annotated.select(
+        "warc_ts", F.explode("spans").alias("m")
+    ).select("warc_ts", F.col("m.label").alias("label"))
+    return (
+        mentions
+        .groupBy(F.window("warc_ts", "10 minutes").alias("win"), "label")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .select(F.col("win.start").alias("window_start"), "label", "n_mentions")
+    )
+
+
+def run_stream_to_parquet(
+    spark: SparkSession, in_path: str, out_path: str, checkpoint: str,
+    timeout_sec: int = 60,
+) -> None:
+    """Drive the stream until idle (availableNow) — used by tests."""
+    q = (
+        streaming_mentions(read_pages_stream(spark, in_path))
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
