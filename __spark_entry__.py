@@ -322,6 +322,33 @@ def q_fingerprints(spark, sf_dir):
     return fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def q_form_frequencies(spark, sf_dir):
+    """Corpus-derived casing dictionary feeding truecasing
+    (spacy_wrapper.py:67-69, 186-221 — but computed from the corpus
+    with one groupBy instead of shipped as a static file)."""
+    from weak_supervision_for_ner_spark.operators.textstats import form_frequencies
+
+    return form_frequencies(_t(spark, sf_dir, "documents"))
+
+
+def q_media_stats(spark, sf_dir):
+    """Multimodal metadata rollup over opaque binary payloads (media
+    table synthesized from documents; no decode — pure SQL)."""
+    from weak_supervision_for_ner_spark.operators.multimodal import media_stats
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("m"), F.col("doc_id")).alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return media_stats(media)
+
+
 def q_eval_metrics(spark, sf_dir):
     """The evaluation harness (analysis.py:40-161) over two span
     tables derived deterministically from lineitem: joins + anti-joins
@@ -440,6 +467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
+        "form_frequencies": q_form_frequencies,
+        "media_stats": q_media_stats,
         "eval_metrics": q_eval_metrics,
         "pages_mentions": q_pages_mentions,
         "pages_majority": q_pages_majority,
@@ -662,6 +691,66 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, md5(text) AS md5_exact,
                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS md5_normalized
         FROM documents
+    """
+
+    sql["simhash_pairs"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(tok), 1, 15)) AS UBIGINT)::BIGINT AS h
+            FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+                  FROM documents)
+            WHERE length(tok) > 0),
+        bits AS (
+            SELECT doc_id, b,
+                   SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM toks, UNNEST(range(0, 60)) AS u(b)
+            GROUP BY doc_id, b),
+        sh AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+            FROM bits GROUP BY doc_id),
+        chunks AS (
+            SELECT doc_id, simhash, c,
+                   (simhash >> (c * 15)) & 32767 AS key
+            FROM sh, UNNEST(range(0, 4)) AS u(c))
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+               bit_count(xor(l.simhash, r.simhash)) AS hamming
+        FROM chunks l JOIN chunks r
+          ON l.c = r.c AND l.key = r.key AND l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.simhash, r.simhash)) <= 10
+    """
+
+    sql["form_frequencies"] = """
+        WITH toks AS (
+            SELECT unnest(string_split_regex(text, '\\s+')) AS form FROM documents),
+        filtered AS (
+            SELECT form FROM toks WHERE length(form) > 0 AND regexp_matches(form, '^[A-Za-z]+$')),
+        counts AS (
+            SELECT lower(form) AS lform, form, COUNT(*) AS n
+            FROM filtered GROUP BY 1, 2),
+        totals AS (SELECT lform, SUM(n) AS n_total FROM counts GROUP BY lform),
+        majority AS (
+            SELECT lform, form AS majority_form, n AS n_majority FROM (
+                SELECT *, row_number() OVER
+                    (PARTITION BY lform ORDER BY n DESC, form ASC) AS rn
+                FROM counts) WHERE rn = 1)
+        SELECT m.lform, m.majority_form, m.n_majority, t.n_total
+        FROM majority m JOIN totals t USING(lform)
+        WHERE t.n_total >= 2
+    """
+
+    sql["media_stats"] = """
+        WITH media AS (
+            SELECT 'm' || doc_id AS media_id,
+                   CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   'application/octet-stream' AS mime,
+                   encode(text) AS payload
+            FROM documents)
+        SELECT kind, mime, COUNT(*) AS n,
+               SUM(octet_length(payload)) AS total_bytes,
+               MAX(octet_length(payload)) AS max_bytes
+        FROM media GROUP BY kind, mime
     """
 
     sql["eval_metrics"] = """

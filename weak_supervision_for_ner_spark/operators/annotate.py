@@ -43,12 +43,24 @@ def _get_resources():
 
 
 def annotate_batch(texts: "pd.Series[str]") -> list[tuple[list, list]]:
-    """Annotate one Arrow batch; returns (tokens, spans) per row."""
+    """Annotate one Arrow batch; returns (tokens, spans) per row.
+
+    Per-document error isolation (the reference swallows per-doc
+    failures, annotations.py:240-243): a failing doc yields its tokens
+    (or none) with ZERO spans instead of killing the partition; the
+    pipeline's metrics pass surfaces the count."""
     gazetteers, first_names = _get_resources()
     out = []
     for text in texts:
-        doc = annotate_document(Doc(text or ""), gazetteers, first_names)
-        out.append((doc.tokens, flatten_spans(doc)))
+        try:
+            doc = annotate_document(Doc(text or ""), gazetteers, first_names)
+            out.append((doc.tokens, flatten_spans(doc)))
+        except Exception:  # noqa: BLE001 — quarantine, don't fail the partition
+            try:
+                tokens = Doc(text or "").tokens
+            except Exception:  # noqa: BLE001
+                tokens = []
+            out.append((tokens, []))
     return out
 
 

@@ -86,6 +86,40 @@ def token_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def form_frequencies(documents: DataFrame, text_col: str = "text",
+                     min_count: int = 2) -> DataFrame:
+    """Corpus-level casing statistics: for every lowercase form, the
+    majority surface casing and counts. This is the Spark-built
+    replacement for the reference's static ``form_frequencies.json``
+    (spacy_wrapper.py:67-69) feeding the truecasing pass — at scale the
+    dictionary is *derived from the corpus itself* with one groupBy,
+    then broadcast back."""
+    from pyspark.sql import Window
+
+    toks = (
+        documents
+        .select(F.explode(F.split(F.col(text_col), r"\s+")).alias("form"))
+        .filter(F.length("form") > 0)
+        .filter(F.col("form").rlike(r"^[A-Za-z]+$"))
+    )
+    counts = (
+        toks.groupBy(F.lower(F.col("form")).alias("lform"), F.col("form"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = counts.groupBy("lform").agg(F.sum("n").alias("n_total"))
+    w = Window.partitionBy("lform").orderBy(F.desc("n"), F.asc("form"))
+    majority = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lform", F.col("form").alias("majority_form"), F.col("n").alias("n_majority"))
+    )
+    return (
+        majority.join(totals, "lform")
+        .filter(F.col("n_total") >= min_count)
+        .select("lform", "majority_form", "n_majority", "n_total")
+    )
+
+
 def fingerprints(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Stable document fingerprints: full-text md5 plus a
     normalized-content md5 (lowercase, collapsed whitespace) that

@@ -50,6 +50,24 @@ class Lineage:
                 json.dump(self.records, fd, indent=1)
 
 
+def stage_metrics(annotated: DataFrame) -> DataFrame:
+    """Per-partition lineage counters for the annotation stage
+    (north_rule: per-partition lineage + metrics): docs, tokens, spans
+    and quarantined docs (error-isolated: tokens but zero spans)."""
+    return (
+        annotated
+        .groupBy(F.spark_partition_id().alias("partition"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("tokens")).alias("n_tokens"),
+            F.sum(F.size("spans")).alias("n_spans"),
+            F.sum(
+                F.when((F.size("tokens") > 3) & (F.size("spans") == 0), 1).otherwise(0)
+            ).alias("n_quarantined"),
+        )
+    )
+
+
 def run_kg_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -57,6 +75,7 @@ def run_kg_pipeline(
     hmm_iters: int = 3,
     checkpoint_dir: str | None = None,
     lineage_path: str | None = None,
+    with_metrics: bool = False,
 ):
     """pages -> (annotated, mentions, graph) DataFrames.
 
@@ -86,6 +105,9 @@ def run_kg_pipeline(
         # majority voting is: maximally-fused single python stage over
         # pages — span structs never cross Arrow on the graph path
         raw_triples = extract_triples_direct(pages)
+    if with_metrics:
+        for row in stage_metrics(annotated).collect():
+            lineage.stage("annotate_partition", **row.asDict())
     linked = link_entities(spark, raw_triples)
     canonical = canonicalize_triples(spark, linked)
     graph = materialize_graph(canonical)
