@@ -53,4 +53,8 @@ def test_whole_stage_codegen_present(spark):
     df = e.q_agg_rollup(spark, "/root/testdata/sf0.001")
     df.collect()  # AQE finalizes the physical plan only on execution
     plan = _plan(df)
-    assert "WholeStageCodegen" in plan
+    # "*(n)" is the WholeStageCodegen marker in the plan string; also
+    # assert the map-side partial aggregation and AQE coalescing.
+    assert "*(" in plan
+    assert "partial_sum" in plan
+    assert "AQEShuffleRead coalesced" in plan
