@@ -1,0 +1,68 @@
+"""Official spark-submit entry point (north_rule delivery mode).
+
+    zip -r wsner.zip weak_supervision_for_ner_spark
+    spark-submit --master <cluster> --py-files wsner.zip \
+        jobs/run_pipeline.py \
+        --input  <pages parquet/iceberg path | synth:N>  \
+        --output /path/to/graph \
+        --aggregator majority|hmm \
+        --checkpoint-dir /path/ckpt --lineage /path/lineage.json \
+        [--mentions-out /path/mentions] [--metrics]
+
+Resumable: with --aggregator hmm and --checkpoint-dir, a re-run
+resumes EM from the latest per-iteration checkpoint.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="pages table path, or synth:N for the deterministic corpus")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--aggregator", default="majority", choices=["majority", "hmm"])
+    ap.add_argument("--hmm-iters", type=int, default=10)
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--lineage", default=None)
+    ap.add_argument("--mentions-out", default=None)
+    ap.add_argument("--mentions-json", default=None,
+                    help="also export aggregated mentions as JSON "
+                         "(the reference's convert_to_json sink)")
+    ap.add_argument("--metrics", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.getOrCreate()
+
+    from weak_supervision_for_ner_spark.operators.annotate import write_mentions
+    from weak_supervision_for_ner_spark.operators.triples import write_graph
+    from weak_supervision_for_ner_spark.plans.pipeline import run_kg_pipeline
+    from weak_supervision_for_ner_spark.sources.pages import synth_pages
+
+    if args.input.startswith("synth:"):
+        pages = synth_pages(spark, int(args.input.split(":", 1)[1]))
+    else:
+        pages = spark.read.parquet(args.input)
+
+    annotated, mentions, graph = run_kg_pipeline(
+        spark, pages,
+        aggregator=args.aggregator,
+        hmm_iters=args.hmm_iters,
+        checkpoint_dir=args.checkpoint_dir,
+        lineage_path=args.lineage,
+        with_metrics=args.metrics,
+    )
+    write_graph(graph, args.output)
+    if args.mentions_out:
+        write_mentions(mentions, args.mentions_out)
+    if args.mentions_json:
+        mentions.write.mode("overwrite").json(args.mentions_json)
+    print(f"graph written to {args.output}: {spark.read.parquet(args.output).count()} triples")
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,17 @@ the Spark operators and a single-node oracle (``plans.oracle``), so
 Spark output matches the oracle byte-for-byte by construction.
 """
 
+import os as _os
+
+# Pin BLAS to one thread BEFORE numpy loads: executors run one Python
+# worker per core, and multithreaded BLAS on small per-doc matrices
+# oversubscribes catastrophically (the reference pins this too,
+# spacy_wrapper.py:83). Must happen at import time in every worker —
+# this module is imported by every UDF closure.
+for _var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS",
+             "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
+    _os.environ.setdefault(_var, "1")
+
 from weak_supervision_for_ner_spark.schema import (  # noqa: F401
     LABELS,
     POSITIONED_LABELS,

@@ -22,7 +22,13 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
-    return (
+    # One BLAS thread per Python worker (workers run one-per-core);
+    # set in the driver env BEFORE the JVM starts so local-mode python
+    # workers inherit it, and in executorEnv for cluster mode.
+    blas_vars = ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS")
+    for var in blas_vars:
+        os.environ.setdefault(var, "1")
+    builder = (
         SparkSession.builder
         .appName(app_name)
         .master(f"local[{cores}]")
@@ -36,5 +42,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
     )
+    for var in blas_vars:
+        builder = builder.config(f"spark.executorEnv.{var}", "1")
+    return builder.getOrCreate()
