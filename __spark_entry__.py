@@ -412,6 +412,36 @@ def q_pages_triples(spark, sf_dir):
     return graph
 
 
+def q_pages_kg_quality(spark, sf_dir):
+    """End-to-end KG quality: triple precision/recall vs the
+    generator's seeded gold relations (north_rule gate: >=0.95)."""
+    from weak_supervision_for_ner_spark.functions.lexicons import LEGAL_SUFFIXES
+    from weak_supervision_for_ner_spark.plans.pipeline import run_kg_pipeline
+    from weak_supervision_for_ner_spark.sources.pages import synth_gold_triples
+
+    suffix_re = r"(?i)\s+(" + "|".join(sorted(LEGAL_SUFFIXES)) + r")\.?$"
+
+    def norm(col):
+        return F.regexp_replace(
+            F.regexp_replace(F.lower(col), suffix_re, ""), suffix_re, ""
+        )
+
+    n = _n_docs(sf_dir)
+    _, _, graph = run_kg_pipeline(spark, _pages(spark, sf_dir))
+    got = graph.select(norm("subj").alias("subj"), "pred",
+                       norm("obj").alias("obj"), "url").distinct().persist()
+    gold = synth_gold_triples(spark, n).select(
+        norm("subj").alias("subj"), "pred", norm("obj").alias("obj"), "url"
+    ).distinct().persist()
+    tp = got.join(gold, ["url", "subj", "pred", "obj"]).count()
+    n_got, n_gold = got.count(), gold.count()
+    return spark.createDataFrame(
+        [(n_got, n_gold, tp,
+          round(tp / max(n_got, 1), 4), round(tp / max(n_gold, 1), 4))],
+        schema="n_predicted long, n_gold long, tp long, precision double, recall double",
+    )
+
+
 def q_pages_eval_mv(spark, sf_dir):
     """End-to-end quality gate: majority-voter mentions vs generator
     gold, CoNLL-mapped micro metrics (rows-only)."""
@@ -474,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_majority": q_pages_majority,
         "pages_hmm": q_pages_hmm,
         "pages_triples": q_pages_triples,
+        "pages_kg_quality": q_pages_kg_quality,
         "pages_eval_mv": q_pages_eval_mv,
     }
 

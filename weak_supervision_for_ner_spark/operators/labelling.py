@@ -87,6 +87,18 @@ class Doc:
         # iPad-style casing
         if len(tok) > 2 and tok[0].islower() and tok[1].isupper() and tok[2:].islower():
             return True
+        # CamelCase brand names (PlayStation, AeroGlide): leading upper
+        # with an internal upper and at least one lower
+        if (
+            len(tok) > 3
+            and tok[0].isupper()
+            and any(c.isupper() for c in tok[1:])
+            and any(c.islower() for c in tok)
+            and tok.isalnum()
+            and not tok.isupper()
+            and not self.is_title[i]
+        ):
+            return True
         if self.is_upper[i] and tok not in lx.CURRENCY_CODES and tok not in lx.NOT_NAMED_ENTITIES:
             return True
         if self.is_title[i]:
@@ -424,7 +436,21 @@ def misc_generator(doc: Doc):
         if end <= start + 3 and (span in lx.NORPS or last in lx.NORPS or last.rstrip("s") in lx.NORPS):
             yield start, end, "NORP"
         if span in lx.LANGUAGES and doc.likely_proper[start]:
-            yield start, end, "LANGUAGE"
+            # The reference gates on tag_=="NNP" (annotations.py:984);
+            # our proxy: a language-context word precedes, or the next
+            # token is not a lowercase noun ("the Norwegian government"
+            # is a NORP use, "spoke Norwegian at" is a language use).
+            prev_ok = start > 0 and doc.lower[start - 1] in {
+                "spoke", "speaks", "speak", "speaking", "in", "language",
+                "taught", "teaches", "learn", "learning", "translated",
+            }
+            next_is_noun = (
+                end < len(doc.tokens)
+                and doc.is_alpha[end]
+                and doc.tokens[end].islower()
+            )
+            if prev_ok or not next_is_noun:
+                yield start, end, "LANGUAGE"
         if last in lx.FACILITIES and end > start + 1:
             yield start, end, "FAC"
         if last in lx.EVENTS and end > start + 1:

@@ -28,12 +28,56 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 
+from weak_supervision_for_ner_spark.functions.lexicons import LEGAL_SUFFIXES as _LEGAL_SUFFIXES
 from weak_supervision_for_ner_spark.schema import TRIPLES_SCHEMA
 from weak_supervision_for_ner_spark.sources.gazetteer import RELATION_LEXICON
 
-ENTITY_TYPES = {"PERSON", "COMPANY", "ORG", "GPE", "LOC", "PRODUCT", "FAC", "EVENT", "NORP"}
+ENTITY_TYPES = {"PERSON", "COMPANY", "ORG", "GPE", "LOC", "PRODUCT", "FAC", "EVENT", "NORP", "LAW"}
 
 _MAX_PATTERN_LEN = max(len(k) for k in RELATION_LEXICON)
+
+_PERSON_SUBJECT_PREDS = {"ceo_of", "born_in", "works_for"}
+
+# Per-predicate subject-type constraints (None = any entity type).
+_SUBJECT_TYPES = {
+    "acquired": {"COMPANY", "ORG", "PERSON"},
+    "merged_with": {"COMPANY", "ORG"},
+    "invested_in": {"COMPANY", "ORG", "PERSON"},
+    "partnered_with": {"COMPANY", "ORG"},
+    "founded": {"PERSON", "COMPANY", "ORG"},
+    "launched": {"COMPANY", "ORG", "PERSON"},
+    "ceo_of": {"PERSON"},
+    "born_in": {"PERSON"},
+    "works_for": {"PERSON"},
+    "joined": {"PERSON"},
+    "leads": {"PERSON"},
+    "met": {"PERSON"},
+    "visited": {"PERSON", "NORP", "COMPANY", "ORG"},
+    "signed": {"NORP", "PERSON", "COMPANY", "ORG", "GPE"},
+    "based_in": {"COMPANY", "ORG"},
+    "sued": {"COMPANY", "ORG", "PERSON", "GPE", "NORP"},
+}
+
+# Per-predicate object-type constraints: prevents "met <GPE>"-style
+# noise when the true object is a non-entity ("met reporters in Oslo").
+_OBJECT_TYPES = {
+    "acquired": {"COMPANY", "ORG"},
+    "merged_with": {"COMPANY", "ORG"},
+    "invested_in": {"COMPANY", "ORG"},
+    "partnered_with": {"COMPANY", "ORG"},
+    "founded": {"COMPANY", "ORG"},
+    "joined": {"COMPANY", "ORG"},
+    "leads": {"COMPANY", "ORG"},
+    "works_for": {"COMPANY", "ORG"},
+    "ceo_of": {"COMPANY", "ORG"},
+    "launched": {"PRODUCT"},
+    "born_in": {"GPE", "LOC"},
+    "based_in": {"GPE", "LOC"},
+    "visited": {"GPE", "LOC", "FAC"},
+    "met": {"PERSON"},
+    "signed": {"LAW", "EVENT"},
+    "sued": {"COMPANY", "ORG", "PERSON"},
+}
 
 
 def extract_triples_from_doc(
@@ -45,10 +89,29 @@ def extract_triples_from_doc(
     lower = [t.lower() for t in tokens]
     n = len(tokens)
     ents = sorted(
-        (s, e, lab, conf) for (s, e, lab, conf) in mentions if lab in ENTITY_TYPES
+        (s, e, lab, conf)
+        for (s, e, lab, conf) in mentions
+        if lab in ENTITY_TYPES
+        # drop fragment mentions that are a bare legal suffix ("GmbH"):
+        # majority voting can split "Pied Piper GmbH" into two spans
+        and not all(
+            lower[t].rstrip(".") in _LEGAL_SUFFIXES for t in range(s, min(e, n))
+        )
     )
     if not ents:
         return []
+
+    # Merge adjacent same-label mentions (merge_contiguous_spans
+    # semantics, annotations.py:1312-1330): majority voting can split
+    # one entity at a gazetteer boundary ("PlayStation" + "5").
+    merged = [ents[0]]
+    for m in ents[1:]:
+        last = merged[-1]
+        if m[0] == last[1] and m[2] == last[2]:
+            merged[-1] = (last[0], m[1], last[2], min(last[3], m[3]))
+        else:
+            merged.append(m)
+    ents = merged
 
     # Sentence boundaries (token indices of terminators)
     boundaries = [i for i, t in enumerate(tokens) if t in {".", "!", "?"}]
@@ -69,10 +132,27 @@ def extract_triples_from_doc(
             i += 1
             continue
         pred, vs, ve = matched
-        subj = max((m for m in ents if m[1] <= vs and same_sentence(m[1] - 1, vs)),
-                   key=lambda m: m[1], default=None)
-        obj = min((m for m in ents if m[0] >= ve and same_sentence(ve, m[0])),
-                  key=lambda m: m[0], default=None)
+        allowed_subj = _SUBJECT_TYPES.get(pred)
+        subj_cands = [
+            m for m in ents
+            if m[1] <= vs and same_sentence(m[1] - 1, vs)
+            and (allowed_subj is None or m[2] in allowed_subj)
+        ]
+        # Person-anchored predicates prefer the nearest PERSON subject:
+        # "X is the CEO of Y and was born in Z" must not attach Y as
+        # the born_in subject just because it is nearer to the verb.
+        if pred in _PERSON_SUBJECT_PREDS:
+            person_cands = [m for m in subj_cands if m[2] == "PERSON"]
+            if person_cands:
+                subj_cands = person_cands
+        subj = max(subj_cands, key=lambda m: m[1], default=None)
+        allowed = _OBJECT_TYPES.get(pred)
+        obj = min(
+            (m for m in ents
+             if m[0] >= ve and same_sentence(ve, m[0])
+             and (allowed is None or m[2] in allowed)),
+            key=lambda m: m[0], default=None,
+        )
         if subj is not None and obj is not None:
             out.append((
                 " ".join(tokens[subj[0]:subj[1]]), subj[2], pred,

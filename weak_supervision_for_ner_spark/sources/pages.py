@@ -86,6 +86,11 @@ class _SentenceBuilder:
         self.parts: list[str] = []
         self.length = 0
         self.gold: list[tuple[int, int, str]] = []
+        self.triples: list[tuple[str, str, str]] = []
+
+    def triple(self, subj: str, pred: str, obj: str) -> "_SentenceBuilder":
+        self.triples.append((subj, pred, obj))
+        return self
 
     def lit(self, s: str) -> "_SentenceBuilder":
         self.parts.append(s)
@@ -100,8 +105,9 @@ class _SentenceBuilder:
         return "".join(self.parts)
 
 
-def _gen_sentences(rng: random.Random) -> tuple[str, list[tuple[int, int, str]]]:
-    """Generate one document's text and char-level gold spans."""
+def _gen_sentences(rng: random.Random):
+    """Generate one document's text, char-level gold spans and the
+    gold relation triples seeded into it."""
     b = _SentenceBuilder()
     n_sentences = rng.choice([1, 2, 2, 3, 3, 4, 5])
     person = rng.choice(_PEOPLE)
@@ -112,21 +118,28 @@ def _gen_sentences(rng: random.Random) -> tuple[str, list[tuple[int, int, str]]]
             b.lit(" ")
         kind = rng.randrange(10)
         if kind == 0:
+            gpe0 = rng.choice(_GPES)
             b.ent(f"{person[0]} {person[1]}", "PERSON").lit(" visited ")
-            b.ent(rng.choice(_GPES), "GPE").lit(" on ")
+            b.ent(gpe0, "GPE").lit(" on ")
+            b.triple(f"{person[0]} {person[1]}", "visited", gpe0)
             day = rng.randrange(2, 28)
             b.ent(f"{day} {rng.choice(_MONTH_NAMES)} {rng.randrange(1995, 2025)}", "DATE").lit(".")
         elif kind == 1:
             suffix = rng.choice(_COMPANY_SUFFIXES)
+            other = rng.choice([c for c in _COMPANIES if c != company])
             b.ent(f"{company} {suffix}", "COMPANY").lit(" acquired ")
-            b.ent(rng.choice([c for c in _COMPANIES if c != company]), "COMPANY")
+            b.ent(other, "COMPANY")
+            b.triple(f"{company} {suffix}", "acquired", other)
             b.lit(" for ")
             money = rng.choice(["$149 million", "USD3,400", "5 bln euros", "2 billion kroner"])
             b.ent(money, "MONEY").lit(".")
         elif kind == 2:
+            country = rng.choice(_COUNTRIES)
             b.ent(f"{person[0]} {person[1]}", "PERSON").lit(" is the CEO of ")
             b.ent(company, "COMPANY").lit(" and was born in ")
-            b.ent(rng.choice(_COUNTRIES), "GPE").lit(".")
+            b.ent(country, "GPE").lit(".")
+            b.triple(f"{person[0]} {person[1]}", "ceo_of", company)
+            b.triple(f"{person[0]} {person[1]}", "born_in", country)
         elif kind == 3:
             b.lit("The meeting starts at ")
             b.ent(f"{rng.randrange(1, 12)}:{rng.randrange(10, 59)} pm", "TIME")
@@ -141,33 +154,40 @@ def _gen_sentences(rng: random.Random) -> tuple[str, list[tuple[int, int, str]]]
             b.ent(rng.choice(_GPES), "GPE").lit(".")
         elif kind == 6:
             art, par = rng.randrange(2, 20), rng.randrange(2, 9)
+            norp, law = rng.choice(_NORPS), rng.choice(_LAWS)
             b.lit("Under ").ent(f"Article {art}, Paragraph {par}", "LAW")
-            b.lit(" the ").ent(rng.choice(_NORPS), "NORP")
-            b.lit(" government signed the ").ent(rng.choice(_LAWS), "LAW").lit(".")
+            b.lit(" the ").ent(norp, "NORP")
+            b.lit(" government signed the ").ent(law, "LAW").lit(".")
+            b.triple(norp, "signed", law)
         elif kind == 7:
             b.lit("The ").ent(rng.choice(_NORPS), "NORP").lit(" delegation spoke ")
             b.ent(rng.choice(_LANGS), "LANGUAGE").lit(" at the ")
             b.ent(rng.choice(_FACS), "FAC").lit(".")
         elif kind == 8:
             # doc-history pair: full mention then short mention later
+            gpe8 = rng.choice(_GPES)
             b.ent(f"{person[0]} {person[1]}", "PERSON").lit(" met reporters in ")
-            b.ent(rng.choice(_GPES), "GPE").lit(". Later, ")
+            b.ent(gpe8, "GPE").lit(". Later, ")
             b.ent(person[1], "PERSON").lit(" declined to comment.")
         else:
+            product = rng.choice(_PRODUCTS)
             b.ent(company, "COMPANY").lit(" launched the ")
-            b.ent(rng.choice(_PRODUCTS), "PRODUCT").lit(" on the ")
+            b.ent(product, "PRODUCT").lit(" on the ")
+            b.triple(company, "launched", product)
             b.ent(f"{rng.randrange(2, 30)}th of {rng.choice(_MONTH_NAMES)}", "DATE").lit(".")
             # doc-majority fodder: repeat the company later
             b.lit(" Analysts said ").ent(company, "COMPANY").lit(" beat expectations.")
         if rng.random() < 0.25:
             b.lit(" " + rng.choice(_FILLER))
-    return b.text(), b.gold
+    return b.text(), b.gold, b.triples
 
 
-def make_page(doc_id: int, seed: int = 42) -> tuple[dict, list[tuple[int, int, str]]]:
-    """Deterministic page content for one doc id (pure function)."""
+def make_page_full(doc_id: int, seed: int = 42):
+    """Deterministic page content for one doc id (pure function);
+    returns (page, gold_spans_chars, gold_triples)."""
     rng = random.Random(doc_id * 1_000_003 + seed)
     r = rng.random()
+    triples: list[tuple[str, str, str]] = []
     if r < 0.01:
         text, gold = "", []
     elif r < 0.03:
@@ -179,7 +199,7 @@ def make_page(doc_id: int, seed: int = 42) -> tuple[dict, list[tuple[int, int, s
         ])
         gold = []
     else:
-        text, gold = _gen_sentences(rng)
+        text, gold, triples = _gen_sentences(rng)
 
     if rng.random() < 0.35:
         domain = _HOT_DOMAINS[rng.randrange(2)]
@@ -196,6 +216,11 @@ def make_page(doc_id: int, seed: int = 42) -> tuple[dict, list[tuple[int, int, s
         "text": text,
         "lang": lang,
     }
+    return page, gold, triples
+
+
+def make_page(doc_id: int, seed: int = 42) -> tuple[dict, list[tuple[int, int, str]]]:
+    page, gold, _ = make_page_full(doc_id, seed)
     return page, gold
 
 
@@ -239,6 +264,35 @@ def gold_token_spans(text: str, char_gold: list[tuple[int, int, str]]):
         if idx:
             out.append((idx[0], idx[-1] + 1, label))
     return out
+
+
+GOLD_TRIPLES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("subj", T.StringType(), False),
+    T.StructField("pred", T.StringType(), False),
+    T.StructField("obj", T.StringType(), False),
+])
+
+
+def synth_gold_triples(spark: SparkSession, n_docs: int, seed: int = 42,
+                       partitions: int | None = None) -> DataFrame:
+    """The relation triples the generator seeded into each document —
+    ground truth for end-to-end KG quality (only emitted for docs the
+    pipeline ingests, i.e. lang == en)."""
+    base = spark.range(0, n_docs, numPartitions=partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                page, _gold, triples = make_page_full(int(i), seed)
+                if page["lang"] != "en":
+                    continue
+                for subj, pred, obj in triples:
+                    rows.append((page["url"], subj, pred, obj))
+            yield pd.DataFrame(rows, columns=["url", "subj", "pred", "obj"])
+
+    return base.mapInPandas(gen, schema=GOLD_TRIPLES_SCHEMA)
 
 
 def synth_gold(spark: SparkSession, n_docs: int, seed: int = 42,
