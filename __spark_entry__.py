@@ -457,6 +457,23 @@ def q_pages_eval_mv(spark, sf_dir):
     return evaluate_mentions(gold, pred, mappings=CONLL_MAPPINGS, keep=CONLL_TO_RETAIN)
 
 
+def q_pages_eval_hmm(spark, sf_dir):
+    """HMM-aggregation quality vs generator gold, CoNLL-mapped
+    (the reference's notebook-cell-100 evaluation, SURVEY.md §6)."""
+    from weak_supervision_for_ner_spark.operators.annotate import annotate_pages
+    from weak_supervision_for_ner_spark.operators.evaluate import evaluate_mentions
+    from weak_supervision_for_ner_spark.operators.hmm import HMMAggregator
+    from weak_supervision_for_ner_spark.schema import CONLL_MAPPINGS, CONLL_TO_RETAIN
+    from weak_supervision_for_ner_spark.sources.pages import synth_gold
+
+    annotated = annotate_pages(_pages(spark, sf_dir)).persist()
+    model = HMMAggregator(n_iter=3)
+    model.fit_spark(spark, annotated)
+    pred = model.decode_spark(spark, annotated)
+    gold = synth_gold(spark, _n_docs(sf_dir))
+    return evaluate_mentions(gold, pred, mappings=CONLL_MAPPINGS, keep=CONLL_TO_RETAIN)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -506,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_triples": q_pages_triples,
         "pages_kg_quality": q_pages_kg_quality,
         "pages_eval_mv": q_pages_eval_mv,
+        "pages_eval_hmm": q_pages_eval_hmm,
     }
 
 
