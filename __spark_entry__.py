@@ -777,7 +777,7 @@ def oracle_sql() -> dict[str, str]:
         counts AS (
             SELECT lower(form) AS lform, form, COUNT(*) AS n
             FROM filtered GROUP BY 1, 2),
-        totals AS (SELECT lform, SUM(n) AS n_total FROM counts GROUP BY lform),
+        totals AS (SELECT lform, CAST(SUM(n) AS BIGINT) AS n_total FROM counts GROUP BY lform),
         majority AS (
             SELECT lform, form AS majority_form, n AS n_majority FROM (
                 SELECT *, row_number() OVER
@@ -797,7 +797,7 @@ def oracle_sql() -> dict[str, str]:
                    encode(text) AS payload
             FROM documents)
         SELECT kind, mime, COUNT(*) AS n,
-               SUM(octet_length(payload)) AS total_bytes,
+               CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
                MAX(octet_length(payload)) AS max_bytes
         FROM media GROUP BY kind, mime
     """
@@ -837,7 +837,7 @@ def oracle_sql() -> dict[str, str]:
                    AS entity_f1
         FROM counts
         UNION ALL
-        SELECT 'micro' AS label, SUM(support) AS support,
+        SELECT 'micro' AS label, CAST(SUM(support) AS BIGINT) AS support,
                ROUND(SUM(tp) / (SUM(tp) + SUM(fp) + 1e-10), 6) AS entity_precision,
                ROUND(SUM(tp) / (SUM(tp) + SUM(fn) + 1e-10), 6) AS entity_recall,
                ROUND(2 * ROUND(SUM(tp) / (SUM(tp) + SUM(fp) + 1e-10), 6) *
@@ -846,7 +846,7 @@ def oracle_sql() -> dict[str, str]:
                       ROUND(SUM(tp) / (SUM(tp) + SUM(fn) + 1e-10), 6) + 1e-10), 6) AS entity_f1
         FROM counts
         UNION ALL
-        SELECT 'macro' AS label, SUM(support) AS support,
+        SELECT 'macro' AS label, CAST(SUM(support) AS BIGINT) AS support,
                ROUND(AVG(ROUND(tp / (tp + fp + 1e-10), 6)), 6) AS entity_precision,
                ROUND(AVG(ROUND(tp / (tp + fn + 1e-10), 6)), 6) AS entity_recall,
                ROUND(2 * ROUND(AVG(ROUND(tp / (tp + fp + 1e-10), 6)), 6) *
