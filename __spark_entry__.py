@@ -374,6 +374,44 @@ def q_eval_metrics(spark, sf_dir):
     )
 
 
+def q_eval_logloss(spark, sf_dir):
+    """Token cross-entropy vs gold BILUO one-hots (compute_logloss,
+    analysis.py:165-210) over multi-token spans derived from lineitem;
+    exercises the doc-label-space filter (label 'X' outside the gold
+    set), the same-cell max-conf dedup, and the O-row clip path."""
+    from weak_supervision_for_ner_spark.operators.evaluate import token_logloss
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    gold = li.select(
+        F.col("l_orderkey").cast("string").alias("url"),
+        (3 * F.col("l_linenumber")).alias("start"),
+        (3 * F.col("l_linenumber") + 1 + F.col("l_partkey") % 3).alias("end"),
+        F.col("l_returnflag").alias("label"),
+    ).distinct()
+    pred = li.filter(F.col("l_linestatus") == "F").select(
+        F.col("l_orderkey").cast("string").alias("url"),
+        (3 * F.col("l_linenumber")).alias("start"),
+        (3 * F.col("l_linenumber") + 1 + F.col("l_partkey") % 3).alias("end"),
+        F.col("l_returnflag").alias("label"),
+        (F.lit(0.5) + (F.col("l_partkey") % 50) / F.lit(100.0)).alias("conf"),
+    )
+    extra_x = li.filter(F.col("l_linenumber") <= 2).select(
+        F.col("l_orderkey").cast("string").alias("url"),
+        (3 * F.col("l_linenumber")).alias("start"),
+        (3 * F.col("l_linenumber") + 2).alias("end"),
+        F.lit("X").alias("label"),
+        F.lit(0.8).alias("conf"),
+    )
+    extra_u = li.filter(F.col("l_linenumber") == 1).select(
+        F.col("l_orderkey").cast("string").alias("url"),
+        F.lit(3).alias("start"),
+        F.lit(4).alias("end"),
+        F.col("l_returnflag").alias("label"),
+        F.lit(0.3).alias("conf"),
+    )
+    return token_logloss(gold, pred.unionByName(extra_x).unionByName(extra_u))
+
+
 # ---------------------------------------------------------------------------
 # pages-pipeline queries (UDF-heavy; rows-only driver check, exact
 # parity asserted in tests/ against the single-node oracle)
@@ -517,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "form_frequencies": q_form_frequencies,
         "media_stats": q_media_stats,
         "eval_metrics": q_eval_metrics,
+        "eval_logloss": q_eval_logloss,
         "pages_mentions": q_pages_mentions,
         "pages_majority": q_pages_majority,
         "pages_hmm": q_pages_hmm,
@@ -854,6 +893,79 @@ def oracle_sql() -> dict[str, str]:
                      (ROUND(AVG(ROUND(tp / (tp + fp + 1e-10), 6)), 6) +
                       ROUND(AVG(ROUND(tp / (tp + fn + 1e-10), 6)), 6) + 1e-10), 6) AS entity_f1
         FROM counts
+    """
+
+    sql["eval_logloss"] = """
+        WITH g AS (
+            SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS url,
+                   3*l_linenumber AS s,
+                   3*l_linenumber + 1 + (l_partkey % 3) AS e,
+                   l_returnflag AS label
+            FROM lineitem WHERE l_orderkey < 2000),
+        p AS (
+            SELECT CAST(l_orderkey AS VARCHAR) AS url,
+                   3*l_linenumber AS s,
+                   3*l_linenumber + 1 + (l_partkey % 3) AS e,
+                   l_returnflag AS label,
+                   0.5 + (l_partkey % 50) / 100.0 AS conf
+            FROM lineitem WHERE l_orderkey < 2000 AND l_linestatus = 'F'
+            UNION ALL
+            SELECT CAST(l_orderkey AS VARCHAR), 3*l_linenumber,
+                   3*l_linenumber + 2, 'X', 0.8
+            FROM lineitem WHERE l_orderkey < 2000 AND l_linenumber <= 2
+            UNION ALL
+            SELECT CAST(l_orderkey AS VARCHAR), 3, 4, l_returnflag, 0.3
+            FROM lineitem WHERE l_orderkey < 2000 AND l_linenumber = 1),
+        doclen AS (SELECT url, MAX(e) AS n_tokens FROM g GROUP BY url),
+        dlab AS (SELECT DISTINCT url, label FROM g),
+        nlab AS (SELECT url, COUNT(*) AS nlabels FROM dlab GROUP BY url),
+        toks AS (SELECT url, unnest(generate_series(0, n_tokens - 1)) AS idx
+                 FROM doclen),
+        gold_tok AS (
+            SELECT url, idx,
+                   (CASE WHEN e = s+1 THEN 'U' WHEN idx = s THEN 'B'
+                         WHEN idx = e-1 THEN 'L' ELSE 'I' END) || '-' || label AS glabel
+            FROM (SELECT url, s, e, label, unnest(generate_series(s, e-1)) AS idx FROM g)),
+        p_in AS (SELECT p.* FROM p SEMI JOIN dlab USING(url, label)),
+        pred_tok AS (
+            SELECT url, idx, qlabel, MAX(conf) AS conf FROM (
+                SELECT url, idx,
+                       (CASE WHEN e = s+1 THEN 'U' WHEN idx = s THEN 'B'
+                             WHEN idx = e-1 THEN 'L' ELSE 'I' END) || '-' || label AS qlabel,
+                       conf
+                FROM (SELECT url, s, e, label, conf,
+                             unnest(generate_series(s, e-1)) AS idx FROM p_in))
+            GROUP BY 1, 2, 3),
+        rowstats AS (
+            SELECT url, idx,
+                   SUM(GREATEST(1e-15, LEAST(0.999999999999999, conf))) AS s_clip,
+                   SUM(conf) AS s_raw, COUNT(*) AS nnz
+            FROM pred_tok GROUP BY 1, 2),
+        tok AS (
+            SELECT t.url, t.idx, gt.glabel, rs.s_clip, rs.s_raw, rs.nnz,
+                   pt.conf AS pconf, nl.nlabels
+            FROM toks t
+            LEFT JOIN gold_tok gt ON gt.url = t.url AND gt.idx = t.idx
+            LEFT JOIN rowstats rs ON rs.url = t.url AND rs.idx = t.idx
+            LEFT JOIN pred_tok pt ON pt.url = t.url AND pt.idx = t.idx
+                                  AND pt.qlabel = gt.glabel
+            LEFT JOIN nlab nl ON nl.url = t.url),
+        loss AS (
+            SELECT -ln(numer / denom) AS l FROM (
+                SELECT GREATEST(1e-15, LEAST(0.999999999999999,
+                           CASE WHEN glabel IS NULL THEN 1.0 - COALESCE(s_raw, 0.0)
+                                ELSE COALESCE(pconf, 0.0) END)) AS numer,
+                       COALESCE(s_clip, 0.0)
+                         + GREATEST(1e-15, LEAST(0.999999999999999,
+                               1.0 - COALESCE(s_raw, 0.0)))
+                         + (4 * COALESCE(nlabels, 0) - COALESCE(nnz, 0)) * 1e-15 AS denom
+                FROM tok))
+        SELECT COUNT(*) AS n_tokens,
+               CAST(CAST(SUM(CAST(l AS DECIMAL(20,9))) AS DECIMAL(28,9)) AS DOUBLE)
+                   AS logloss_total,
+               CAST(CAST(SUM(CAST(l AS DECIMAL(20,9))) AS DECIMAL(28,9)) AS DOUBLE)
+                   / COUNT(*) AS logloss_per_token
+        FROM loss
     """
 
     return sql

@@ -72,6 +72,116 @@ def _tokens(df: DataFrame) -> DataFrame:
     )
 
 
+def _biluo_tokens(df: DataFrame, with_conf: bool = False) -> DataFrame:
+    """Explode spans to per-token BILUO-qualified labels
+    (analysis.py:170-206): a unit span is U-label; longer spans emit
+    B-label, I-label*, L-label."""
+    cols = ["url", "start", "end", "label"] + (["conf"] if with_conf else [])
+    tok = df.select(
+        *cols, F.explode(F.sequence(F.col("start"), F.col("end") - 1)).alias("idx")
+    )
+    tag = (
+        F.when(F.col("end") == F.col("start") + 1, F.lit("U"))
+        .when(F.col("idx") == F.col("start"), F.lit("B"))
+        .when(F.col("idx") == F.col("end") - 1, F.lit("L"))
+        .otherwise(F.lit("I"))
+    )
+    out = tok.withColumn("qlabel", F.concat_ws("-", tag, F.col("label")))
+    keep = ["url", "idx", "qlabel"] + (["conf"] if with_conf else [])
+    return out.select(*keep)
+
+
+def token_logloss(
+    gold: DataFrame,
+    pred: DataFrame,
+    doc_len: DataFrame | None = None,
+    eps: float = 1e-15,
+) -> DataFrame:
+    """Token-level cross-entropy of predicted confidences vs gold BILUO
+    one-hots — the reference's ``compute_logloss`` (analysis.py:165-210)
+    re-expressed relationally, corpus-wide in one pass instead of one
+    numpy matrix per document.
+
+    Semantics preserved: per document the label space is
+    ``O + {B,I,L,U} x sorted(gold labels of that doc)``; predicted spans
+    whose label is absent from the doc's gold label set are skipped;
+    the O column is ``1 - sum(other columns)``; probabilities are
+    clipped to [eps, 1-eps] and row-renormalised before the log, exactly
+    like the legacy ``sklearn.metrics.log_loss(normalize=False)`` the
+    reference calls. Deviation (documented): when two predicted spans
+    write the same (token, BILUO-label) cell the reference keeps the
+    last dict-ordered value; we take the max conf, which is
+    deterministic under parallel evaluation.
+
+    Returns a single row: ``n_tokens, logloss_total (DECIMAL 28,9),
+    logloss_per_token``. The per-token losses are summed as
+    DECIMAL(20,9) so the total is exact and independent of partition
+    order — safe for cross-engine hash comparison at any parallelism.
+    """
+    one_minus = 1.0 - eps
+
+    def clip(c):
+        return F.greatest(F.lit(eps), F.least(F.lit(one_minus), c))
+
+    if doc_len is None:
+        doc_len = gold.groupBy("url").agg(F.max("end").alias("n_tokens"))
+    dlab = gold.select("url", "label").distinct()
+    nlab = dlab.groupBy("url").agg(F.count(F.lit(1)).alias("nlabels"))
+    toks = doc_len.select(
+        "url", F.explode(F.sequence(F.lit(0), F.col("n_tokens") - 1)).alias("idx")
+    )
+    gold_tok = _biluo_tokens(gold).withColumnRenamed("qlabel", "glabel")
+    pred_in_space = pred.join(dlab, ["url", "label"], "left_semi")
+    pred_tok = (
+        _biluo_tokens(pred_in_space, with_conf=True)
+        .groupBy("url", "idx", "qlabel")
+        .agg(F.max("conf").alias("conf"))
+    )
+    rowstats = pred_tok.groupBy("url", "idx").agg(
+        F.sum(clip(F.col("conf"))).alias("s_clip"),
+        F.sum("conf").alias("s_raw"),
+        F.count(F.lit(1)).alias("nnz"),
+    )
+    tok = (
+        toks.join(gold_tok, ["url", "idx"], "left")
+        .join(rowstats, ["url", "idx"], "left")
+        .join(
+            pred_tok.withColumnRenamed("qlabel", "glabel").withColumnRenamed("conf", "pconf"),
+            ["url", "idx", "glabel"],
+            "left",
+        )
+        .join(nlab, ["url"], "left")
+    )
+    o_raw = F.lit(1.0) - F.coalesce(F.col("s_raw"), F.lit(0.0))
+    numer = clip(
+        F.when(F.col("glabel").isNull(), o_raw).otherwise(
+            F.coalesce(F.col("pconf"), F.lit(0.0))
+        )
+    )
+    denom = (
+        F.coalesce(F.col("s_clip"), F.lit(0.0))
+        + clip(o_raw)
+        + (
+            4 * F.coalesce(F.col("nlabels"), F.lit(0))
+            - F.coalesce(F.col("nnz"), F.lit(0))
+        )
+        * F.lit(eps)
+    )
+    loss = tok.select((-F.log(numer / denom)).alias("l"))
+    return loss.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("l").cast("decimal(20,9)"))
+        .cast("decimal(28,9)")
+        .alias("logloss_total"),
+    ).select(
+        "n_tokens",
+        F.col("logloss_total").cast("double").alias("logloss_total"),
+        (F.col("logloss_total").cast("double") / F.col("n_tokens")).alias(
+            "logloss_per_token"
+        ),
+    )
+
+
 def evaluate_mentions(
     gold: DataFrame, pred: DataFrame, conf_threshold: float = 0.5,
     mappings: dict[str, str] | None = None, keep: set[str] | None = None,
