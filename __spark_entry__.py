@@ -255,7 +255,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 def q_simhash(spark, sf_dir):
     from weak_supervision_for_ner_spark.operators.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=10)
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 def q_embedding_dups(spark, sf_dir):
@@ -796,16 +796,14 @@ def oracle_sql() -> dict[str, str]:
         sh AS (
             SELECT doc_id,
                    SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
-            FROM bits GROUP BY doc_id),
-        chunks AS (
-            SELECT doc_id, simhash, c,
-                   (simhash >> (c * 15)) & 32767 AS key
-            FROM sh, UNNEST(range(0, 4)) AS u(c))
-        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
-               bit_count(xor(l.simhash, r.simhash)) AS hamming
-        FROM chunks l JOIN chunks r
-          ON l.c = r.c AND l.key = r.key AND l.doc_id < r.doc_id
-        WHERE bit_count(xor(l.simhash, r.simhash)) <= 10
+            FROM bits GROUP BY doc_id)
+        -- brute-force all-pairs enumeration: the oracle provably finds
+        -- EVERY pair at hamming <= 3, so a green hash certifies the
+        -- Spark side's pigeonhole chunk blocking has perfect recall
+        SELECT l.doc_id AS a, r.doc_id AS b,
+               CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+        FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
     """
 
     sql["form_frequencies"] = """

@@ -47,8 +47,22 @@ def test_minhash_lsh_finds_exact_dups(spark, docs):
 def test_simhash_identical_docs_distance_zero(spark, docs):
     from weak_supervision_for_ner_spark.operators.dedup import simhash_near_pairs
 
-    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_near_pairs(docs, 10).collect()}
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_near_pairs(docs, 3).collect()}
     assert pairs[(1, 2)] == 0
+
+
+def test_simhash_blocking_rejects_unguaranteed_bounds(spark, docs):
+    import pytest
+
+    from weak_supervision_for_ner_spark.operators.dedup import simhash_near_pairs
+
+    # 11 chunks of a 60-bit fingerprint would be 5 bits wide — the
+    # blocking guarantee (pigeonhole) can't be honoured, so the call
+    # must fail loudly instead of silently dropping spread-bit pairs.
+    with pytest.raises(ValueError):
+        simhash_near_pairs(docs, max_hamming=10)
+    with pytest.raises(ValueError):
+        simhash_near_pairs(docs, max_hamming=3, n_chunks=2)
 
 
 def test_embedding_near_duplicates(spark):
@@ -63,6 +77,46 @@ def test_embedding_near_duplicates(spark):
     pairs = {(r["a"], r["b"]): r["cosine"] for r in embedding_near_duplicates(emb, 0.9).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
     assert (1, 3) not in pairs
+
+
+def _clustered_embeddings(spark, n_clusters=12, per_cluster=5, dim=16, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    vid = 0
+    for _ in range(n_clusters):
+        center = rng.standard_normal(dim)
+        center /= np.linalg.norm(center)
+        for _ in range(per_cluster):
+            v = center + rng.standard_normal(dim) * 0.03
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_lsh_equals_brute_force(spark):
+    """The banded-hyperplane blocker must return the SAME pair set as
+    the O(n^2) baseline on clustered data (recall certificate)."""
+    from weak_supervision_for_ner_spark.operators.dedup import embedding_near_duplicates
+
+    emb = _clustered_embeddings(spark).persist()
+    lsh = {(r["a"], r["b"], r["cosine"])
+           for r in embedding_near_duplicates(emb, 0.95, blocker="lsh", dim=16).collect()}
+    brute = {(r["a"], r["b"], r["cosine"])
+             for r in embedding_near_duplicates(emb, 0.95, blocker="none").collect()}
+    assert len(brute) > 20          # the fixture actually produces dup pairs
+    assert lsh == brute
+    emb.unpersist()
+
+
+def test_embedding_lsh_plan_has_no_cartesian_product(spark):
+    from weak_supervision_for_ner_spark.operators.dedup import embedding_near_duplicates
+
+    emb = _clustered_embeddings(spark, n_clusters=3, per_cluster=3)
+    df = embedding_near_duplicates(emb, 0.95, blocker="lsh", dim=16)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
 def test_brute_force_topk_ordering(spark):

@@ -37,16 +37,20 @@ def test_truecase_tokens():
     from weak_supervision_for_ner_spark.functions.truecase import truecase_tokens
 
     freqs = {
-        "oslo": ("Oslo", 95, 100),
-        "the": ("the", 60, 100),       # no dominant casing advantage? 60% < 75%
+        "oslo": {"Oslo": 95, "OSLO": 5},
+        "the": {"the": 60, "THE": 40},
     }
-    # ALL-CAPS headline gets fixed where the majority form dominates
-    assert truecase_tokens(["OSLO", "WINS"], freqs) == ["Oslo", "WINS"]
-    # mixed-majority form left alone (share below 1-min_prob)
-    assert truecase_tokens(["THE"], freqs) == ["THE"]
+    # sentence-initial tokens are never rewritten (spacy_wrapper.py:201)
+    assert truecase_tokens(["OSLO"], [True], freqs) == ["OSLO"]
+    # improbable casing (share < min_prob) fixed to the majority form
+    assert truecase_tokens(
+        ["In", "OSLO"], [True, False], freqs
+    ) == ["In", "Oslo"]
+    # observed share >= min_prob left alone
+    assert truecase_tokens(["In", "THE"], [True, False], freqs) == ["In", "THE"]
     # long docs pass through
     long_doc = ["OSLO"] * 30
-    assert truecase_tokens(long_doc, freqs) == long_doc
+    assert truecase_tokens(long_doc, [False] * 30, freqs) == long_doc
 
 
 def test_stage_metrics_counts_quarantined(spark):

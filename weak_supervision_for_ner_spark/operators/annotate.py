@@ -42,7 +42,9 @@ def _get_resources():
     return _RESOURCES
 
 
-def annotate_batch(texts: "pd.Series[str]") -> list[tuple[list, list]]:
+def annotate_batch(
+    texts: "pd.Series[str]", form_freqs: dict | None = None
+) -> list[tuple[list, list]]:
     """Annotate one Arrow batch; returns (tokens, spans) per row.
 
     Per-document error isolation (the reference swallows per-doc
@@ -53,7 +55,9 @@ def annotate_batch(texts: "pd.Series[str]") -> list[tuple[list, list]]:
     out = []
     for text in texts:
         try:
-            doc = annotate_document(Doc(text or ""), gazetteers, first_names)
+            doc = annotate_document(
+                Doc(text or "", form_freqs=form_freqs), gazetteers, first_names
+            )
             out.append((doc.tokens, flatten_spans(doc)))
         except Exception:  # noqa: BLE001 — quarantine, don't fail the partition
             try:
@@ -64,16 +68,38 @@ def annotate_batch(texts: "pd.Series[str]") -> list[tuple[list, list]]:
     return out
 
 
-def annotate_pages(pages: DataFrame, lang: str = "en") -> DataFrame:
+def annotate_pages(
+    pages: DataFrame,
+    lang: str = "en",
+    truecase: bool = False,
+    form_freqs: dict | None = None,
+) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → annotated(url, tokens, spans).
 
     One narrow stage; the lang filter is pushed into the scan.
+
+    With ``truecase=True`` the casing dictionary is derived from the
+    corpus itself (one groupBy + bounded driver collect,
+    textstats.collect_form_frequency_dict) and shipped to executors via
+    a Spark broadcast, then short/ALL-CAPS docs get case repair before
+    labelling (spacy_wrapper.py:186-221). Pass ``form_freqs`` to reuse
+    a precomputed dictionary.
     """
     selected = pages.filter(F.col("lang") == lang).select("url", "text")
+    bc = None
+    if truecase or form_freqs is not None:
+        if form_freqs is None:
+            from weak_supervision_for_ner_spark.operators.textstats import (
+                collect_form_frequency_dict,
+            )
+
+            form_freqs = collect_form_frequency_dict(selected)
+        bc = selected.sparkSession.sparkContext.broadcast(form_freqs)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        freqs = bc.value if bc is not None else None
         for pdf in batches:
-            annotated = annotate_batch(pdf["text"])
+            annotated = annotate_batch(pdf["text"], form_freqs=freqs)
             yield pd.DataFrame(
                 {
                     "url": pdf["url"].values,

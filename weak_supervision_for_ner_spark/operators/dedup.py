@@ -134,39 +134,99 @@ def minhash_lsh_pairs(
     return pairs
 
 
-def simhash_table(documents: DataFrame, bits: int = 64, text_col: str = "text") -> DataFrame:
-    """64-bit simhash per doc from token md5s: bit b of the fingerprint
-    is the sign of sum over tokens of (bit b of md5(token))*2-1.
-    Pure built-ins: explode tokens → per-bit majority via conv()."""
+SIMHASH_BITS = 60  # 15 hex chars of md5 — fits a signed BIGINT so the
+#                    DuckDB oracle reproduces fingerprints bit-for-bit.
+_PACK_FIELDS = 3   # bits packed per accumulator
+_PACK_WIDTH = 20   # bit-width of each packed popcount field
+
+
+def simhash_table(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """60-bit simhash per doc from token md5s: bit b of the fingerprint
+    is set iff more tokens have bit b of md5(token) set than unset
+    (ties -> 0).
+
+    Packed-popcount aggregation: instead of 60 separate ``sum(when)``
+    agg columns (which bloated codegen to ~2 MB task binaries), each
+    accumulator packs 3 per-bit popcounts into 20-bit fields of one
+    BIGINT — 20 agg buffers + 1 token count. Supports docs up to
+    2^20-1 = 1,048,575 tokens (several MB of text); longer docs would
+    overflow a packed field, so their fingerprint is emitted as NULL
+    (detected from the exact token count) rather than silently
+    corrupted — chunk such inputs upstream.
+    """
     toks = (
         documents
         .select("doc_id", F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"))
         .filter(F.length("tok") > 0)
         .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
     )
-    bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(min(bits, 60))
-    ]
-    agg = toks.groupBy("doc_id").agg(*bit_aggs)
-    fingerprint = None
-    for b in range(min(bits, 60)):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
-        fingerprint = term if fingerprint is None else fingerprint + term
+    n_groups = SIMHASH_BITS // _PACK_FIELDS
+    aggs = [F.count(F.lit(1)).alias("n_toks")]
+    for g in range(n_groups):
+        expr = None
+        for k in range(_PACK_FIELDS):
+            b = g * _PACK_FIELDS + k
+            term = (
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
+                * F.lit(1 << (_PACK_WIDTH * k))
+            )
+            expr = term if expr is None else expr + term
+        aggs.append(F.sum(expr).alias(f"g{g}"))
+    agg = toks.groupBy("doc_id").agg(*aggs)
+    field_mask = (1 << _PACK_WIDTH) - 1
+    fingerprint = F.lit(0).cast("long")
+    for g in range(n_groups):
+        for k in range(_PACK_FIELDS):
+            b = g * _PACK_FIELDS + k
+            ones = F.shiftright(F.col(f"g{g}"), _PACK_WIDTH * k).bitwiseAND(F.lit(field_mask))
+            # majority: ones > zeros  <=>  2*ones > n_toks
+            fingerprint = fingerprint + F.when(
+                ones * 2 > F.col("n_toks"), F.lit(1 << b)
+            ).otherwise(F.lit(0))
+    fingerprint = F.when(
+        F.col("n_toks") < F.lit(1 << _PACK_WIDTH), fingerprint
+    ).otherwise(F.lit(None))
     return agg.select("doc_id", fingerprint.cast("long").alias("simhash"))
 
 
-def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance, blocked on 16-bit
-    chunks (a pair within hamming<=3 shares at least one of 4 chunks)."""
+def simhash_near_pairs(
+    documents: DataFrame, max_hamming: int = 3, n_chunks: int | None = None
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= ``max_hamming``.
+
+    Blocking guarantee (pigeonhole): the 60-bit fingerprint is split
+    into ``n_chunks`` contiguous chunks; two fingerprints within
+    hamming distance d < n_chunks must agree on at least one whole
+    chunk, so bucketing on (chunk_index, chunk_value) has PERFECT
+    recall iff ``n_chunks >= max_hamming + 1`` (the round-1 version ran
+    4 chunks at max_hamming=10 and silently missed spread-bit pairs).
+    ``n_chunks`` defaults to ``max_hamming + 1``. Chunks narrower than
+    8 bits make buckets so coarse the join degenerates toward all-pairs,
+    so that is rejected — lower max_hamming or verify exactly instead.
+    """
+    if n_chunks is None:
+        n_chunks = max_hamming + 1
+    if n_chunks < max_hamming + 1:
+        raise ValueError(
+            f"n_chunks={n_chunks} cannot guarantee recall at max_hamming={max_hamming}"
+            f" (need >= {max_hamming + 1})"
+        )
+    width = SIMHASH_BITS // n_chunks
+    if width < 8:
+        raise ValueError(
+            f"{n_chunks} chunks of a {SIMHASH_BITS}-bit fingerprint are {width} bits wide;"
+            " blocking keys under 8 bits degenerate to all-pairs — use a smaller"
+            " max_hamming or an exact verify stage"
+        )
     sh = simhash_table(documents)
     chunks = None
-    for c in range(4):
+    for c in range(n_chunks):
+        # last chunk absorbs the remainder bits
+        hi = SIMHASH_BITS if c == n_chunks - 1 else (c + 1) * width
+        mask = (1 << (hi - c * width)) - 1
         part = sh.select(
             "doc_id", "simhash", F.lit(c).alias("chunk"),
-            F.shiftright(F.col("simhash"), c * 15).bitwiseAND(F.lit((1 << 15) - 1)).alias("key"),
+            F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit(mask)).alias("key"),
         )
         chunks = part if chunks is None else chunks.unionByName(part)
     pairs = (
@@ -177,7 +237,7 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
             F.col("l.simhash").alias("ha"), F.col("r.simhash").alias("hb"),
         )
         .distinct()
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
@@ -186,28 +246,93 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 def embedding_near_duplicates(
     embeddings: DataFrame, threshold: float = 0.95, id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    vec_col: str = "embedding", blocker: str = "lsh",
+    n_planes: int = 16, bands: int = 8, dim: int | None = None, seed: int = 42,
 ) -> DataFrame:
-    """Cosine >= threshold pairs via built-in array math
-    (F.zip_with dot product / aggregate norms) — brute-force blocked
-    variant suitable as the verify stage after LSH blocking."""
+    """Cosine >= threshold near-duplicate pairs.
+
+    ``blocker="lsh"`` (default, the 100-TB path): random-hyperplane
+    sign bits split into ``bands`` bands of ``n_planes/bands`` planes;
+    candidate pairs form only inside a shared (band, key) bucket — ONE
+    shuffle on the bucket key instead of an all-pairs crossJoin. The
+    candidate ids are deduped across bands, re-joined to their vectors,
+    then exactly re-ranked by cosine, so precision is exact and recall
+    is P[share >= 1 band] = 1-(1-(1-theta/pi)^r)^bands — with the
+    defaults (r=2, bands=8) that is >99.9% at cosine 0.8 and ~1-2e-6
+    at 0.95. ``blocker="none"`` is the O(n^2) brute-force baseline used
+    by verification tests (and intra-bucket re-rank inside other
+    blockers); never run it on a full corpus.
+    """
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
-    base = embeddings.select(
-        F.col(id_col), F.col(vec_col),
-        norm.alias("nrm"),
-    )
-    left = base.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
-    )
-    right = base.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb")
-    )
+    base = embeddings.select(F.col(id_col), F.col(vec_col), norm.alias("nrm"))
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
+
+    if blocker == "none":
+        left = base.select(
+            F.col(id_col).alias("a"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
+        )
+        right = base.select(
+            F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb")
+        )
+        cand = left.crossJoin(right).filter(F.col("a") < F.col("b"))
+    elif blocker == "lsh":
+        from weak_supervision_for_ner_spark.operators.similarity import (
+            random_hyperplanes,
+            hyperplane_bucket,
+        )
+
+        if n_planes % bands != 0:
+            raise ValueError(f"n_planes={n_planes} must divide into bands={bands}")
+        r = n_planes // bands
+        if dim is None:
+            first = embeddings.select(F.size(vec_col).alias("d")).first()
+            dim = int(first["d"]) if first else 0
+        planes = random_hyperplanes(dim, n_planes, seed)
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                hyperplane_bucket(vec_col, planes[b * r : (b + 1) * r]).alias("key"),
+            )
+            for b in range(bands)
+        ]
+        bucketed = embeddings.select(
+            F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+        ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        cand_ids = (
+            bucketed.alias("l")
+            .join(bucketed.alias("r"), ["band", "key"])
+            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(
+                F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
+            )
+            .distinct()
+        )
+        # re-join vectors for the exact re-rank (ids only travel
+        # through the bucket shuffle; vectors are fetched twice by key)
+        cand = (
+            cand_ids
+            .join(
+                base.select(
+                    F.col(id_col).alias("a"),
+                    F.col(vec_col).alias("va"), F.col("nrm").alias("na"),
+                ),
+                "a",
+            )
+            .join(
+                base.select(
+                    F.col(id_col).alias("b"),
+                    F.col(vec_col).alias("vb"), F.col("nrm").alias("nb"),
+                ),
+                "b",
+            )
+        )
+    else:
+        raise ValueError(f"unknown blocker {blocker!r}")
+
     return (
-        left.crossJoin(right)
-        .filter(F.col("a") < F.col("b"))
+        cand
         .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", F.round("cosine", 6).alias("cosine"))

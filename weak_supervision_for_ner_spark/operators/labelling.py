@@ -51,23 +51,31 @@ class Doc:
         "likely_proper", "in_compound", "layers",
     )
 
-    def __init__(self, text: str):
+    def __init__(self, text: str, form_freqs: dict | None = None):
         self.text = text
         self.tokens, self.offsets = tokenize_with_offsets(text)
         n = len(self.tokens)
         toks = self.tokens
-        self.lower = [t.lower() for t in toks]
-        self.is_punct = [all(c in lx.PUNCT for c in t) for t in toks]
-        self.is_title = [t.istitle() for t in toks]
-        self.is_upper = [t.isupper() and any(c.isalpha() for c in t) for t in toks]
-        self.is_digit = [t.isdigit() for t in toks]
-        self.is_alpha = [t.isalpha() for t in toks]
         self.sent_start = [
             i == 0
             or toks[i - 1] in lx.SENT_END
             or (toks[i - 1].endswith(".") and len(toks[i - 1]) > 1)
             for i in range(n)
         ]
+        if form_freqs is not None:
+            # Case repair for short/ALL-CAPS docs (spacy_wrapper.py:186-221).
+            # Only alphabetic tokens are rewritten, so sentence-boundary
+            # flags (driven by punctuation) are unaffected; offsets keep
+            # pointing into the original text for span_text extraction.
+            from weak_supervision_for_ner_spark.functions.truecase import truecase_tokens
+
+            self.tokens = toks = truecase_tokens(toks, self.sent_start, form_freqs)
+        self.lower = [t.lower() for t in toks]
+        self.is_punct = [all(c in lx.PUNCT for c in t) for t in toks]
+        self.is_title = [t.istitle() for t in toks]
+        self.is_upper = [t.isupper() and any(c.isalpha() for c in t) for t in toks]
+        self.is_digit = [t.isdigit() for t in toks]
+        self.is_alpha = [t.isalpha() for t in toks]
         self.likely_proper = [self._likely_proper(i) for i in range(n)]
         self.in_compound = [
             self.likely_proper[i]

@@ -120,6 +120,48 @@ def form_frequencies(documents: DataFrame, text_col: str = "text",
     )
 
 
+def collect_form_frequency_dict(
+    documents: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    max_entries: int = 500_000,
+) -> dict[str, dict[str, int]]:
+    """Driver-side casing dictionary ``{lform: {form: count}}`` feeding
+    the truecasing pass (functions/truecase.py) — the corpus-derived
+    replacement for the reference's static ``form_frequencies.json``.
+
+    Scale design: the vocabulary of alphabetic forms grows ~O(sqrt)
+    with corpus size (Heaps' law), and the collect is capped at
+    ``max_entries`` lowercase forms ordered by corpus frequency, so the
+    broadcast stays bounded (~tens of MB) even at 100 TB. Forms seen
+    fewer than ``min_count`` times carry no reliable casing signal and
+    are dropped before the cap.
+    """
+    toks = (
+        documents
+        .select(F.explode(F.split(F.col(text_col), r"\s+")).alias("form"))
+        .filter(F.length("form") > 0)
+        .filter(F.col("form").rlike(r"^[A-Za-z]+$"))
+    )
+    counts = (
+        toks.groupBy(F.lower(F.col("form")).alias("lform"), F.col("form"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    kept = (
+        counts.groupBy("lform")
+        .agg(
+            F.sum("n").alias("n_total"),
+            F.map_from_entries(F.collect_list(F.struct("form", "n"))).alias("forms"),
+        )
+        .filter(F.col("n_total") >= min_count)
+        .orderBy(F.desc("n_total"), F.asc("lform"))
+        .limit(max_entries)
+        .select("lform", "forms")
+        .collect()
+    )
+    return {row["lform"]: dict(row["forms"]) for row in kept}
+
+
 def fingerprints(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Stable document fingerprints: full-text md5 plus a
     normalized-content md5 (lowercase, collapsed whitespace) that

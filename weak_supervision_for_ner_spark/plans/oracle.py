@@ -27,14 +27,16 @@ from weak_supervision_for_ner_spark.sources.gazetteer import FIRST_NAMES, build_
 from weak_supervision_for_ner_spark.operators.aggregate import N_SOURCES, N_STATES
 
 
-def oracle_annotate(pages: list[dict]) -> list[dict]:
+def oracle_annotate(pages: list[dict], form_freqs: dict | None = None) -> list[dict]:
     """[{url, text}, ...] -> [{url, tokens, spans}, ...]"""
     gazetteers = build_gazetteers()
     out = []
     for page in pages:
         if page.get("lang", "en") != "en":
             continue
-        doc = annotate_document(Doc(page["text"] or ""), gazetteers, FIRST_NAMES)
+        doc = annotate_document(
+            Doc(page["text"] or "", form_freqs=form_freqs), gazetteers, FIRST_NAMES
+        )
         out.append({"url": page["url"], "tokens": doc.tokens, "spans": flatten_spans(doc)})
     return out
 
