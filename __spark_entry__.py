@@ -285,9 +285,10 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Hyperplane-LSH bucketed ANN (scale path; rows-only — bucket
-    recall is approximate by design)."""
-    from weak_supervision_for_ner_spark.operators.similarity import lsh_topk
+    """Hyperplane-LSH bucketed ANN, reported as recall@k vs the exact
+    brute-force top-k — a deterministic, oracle-checkable metric
+    instead of an unverifiable candidate list."""
+    from weak_supervision_for_ner_spark.operators.similarity import lsh_recall
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.expr("transform(embedding, x -> cast(x as double))")
@@ -295,7 +296,7 @@ def q_ann_lsh(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, queries, k=5, n_planes=6, dim=64)
+    return lsh_recall(emb, queries, k=5, n_planes=6, dim=64)
 
 
 def q_lang_id(spark, sf_dir):
@@ -372,6 +373,60 @@ def q_eval_metrics(spark, sf_dir):
     return evaluate_mentions(gold, pred).filter(F.col("label") != "weighted").select(
         "label", "support", "entity_precision", "entity_recall", "entity_f1",
     )
+
+
+_CB_ORG_BASES = ["Acme", "Globex", "Initech", "Umbrella", "Nordic"]
+_CB_ORG_SUFFIX = ["Corp", "Group", "Labs", "AS", "Holdings"]
+_CB_ORG_TYPES = ["company", "investor", "university", "government"]
+_CB_FIRSTS = ["Mary Jane", "John", "Anna", "Per Olav", "Li"]
+_CB_LASTS = ["Smith", "Olsen", "Tanaka", "Berg", "Ng", "Hansen", "Lee"]
+_PRODUCT_BASES = ["IPad", "EBook", "Widget", "Gizmo Pro", "Consoles", "IBex",
+                  "Lens", "Croc (reptile)"]
+
+
+def _pick(values, key, m):
+    return F.element_at(
+        F.array(*[F.lit(v) for v in values]), (F.col(key) % m + 1).cast("int")
+    )
+
+
+def q_etl_crunchbase(spark, sf_dir):
+    """Crunchbase gazetteer ETL (annotations.py:1578-1624): org-type
+    classification + person-name variant explosion with the legal-suffix
+    filter, over deterministic supplier/customer-derived inputs."""
+    from weak_supervision_for_ner_spark.sources.gazetteer import compile_crunchbase_table
+
+    sup = _t(spark, sf_dir, "supplier")
+    orgs = sup.select(
+        F.concat_ws(
+            " ", _pick(_CB_ORG_BASES, "s_suppkey", 5), _pick(_CB_ORG_SUFFIX, "s_suppkey", 4)
+        ).alias("name"),
+        _pick(_CB_ORG_TYPES, "s_suppkey", 4).alias("org_type"),
+    )
+    people = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 200)
+        .select(
+            _pick(_CB_FIRSTS, "c_custkey", 5).alias("first_name"),
+            _pick(_CB_LASTS, "c_custkey", 7).alias("last_name"),
+        )
+    )
+    return compile_crunchbase_table(orgs, people)
+
+
+def q_etl_products(spark, sf_dir):
+    """Product gazetteer ETL (compile_product_data,
+    annotations.py:1627-1650): parenthesis filter, iPad-case variant,
+    reference-faithful pluralisation."""
+    from weak_supervision_for_ner_spark.sources.gazetteer import compile_product_table
+
+    prods = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 300)
+        .select(_pick(_PRODUCT_BASES, "p_partkey", 8).alias("name"))
+        .distinct()
+    )
+    return compile_product_table(prods)
 
 
 def q_eval_logloss(spark, sf_dir):
@@ -556,6 +611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": q_media_stats,
         "eval_metrics": q_eval_metrics,
         "eval_logloss": q_eval_logloss,
+        "etl_crunchbase": q_etl_crunchbase,
+        "etl_products": q_etl_products,
         "pages_mentions": q_pages_mentions,
         "pages_majority": q_pages_majority,
         "pages_hmm": q_pages_hmm,
@@ -718,6 +775,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, row_number() OVER
               (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
             FROM scored) WHERE rank <= 5
+    """
+
+    from weak_supervision_for_ner_spark.operators.similarity import random_hyperplanes
+
+    _planes = random_hyperplanes(64, 6, 42)
+    _bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product({v}::DOUBLE[], ["
+        + ",".join(repr(float(x)) for x in p)
+        + "]::DOUBLE[]) > 0.0 THEN " + str(1 << i) + " ELSE 0 END)"
+        for i, p in enumerate(_planes)
+    )
+    sql["ann_lsh"] = f"""
+        WITH corpus AS (
+            SELECT vec_id, embedding,
+                   {_bucket_terms.format(v='embedding')} AS bucket
+            FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket
+              FROM corpus WHERE vec_id < 10),
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]), 6) DESC,
+                           e.vec_id ASC) AS rank
+                FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id)
+            WHERE rank <= 5),
+        approx AS (
+            SELECT query_id, neighbor_id AS lsh_neighbor FROM (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]), 6) DESC,
+                           e.vec_id ASC) AS rank
+                FROM corpus e JOIN q ON e.bucket = q.bucket
+                WHERE e.vec_id != q.query_id)
+            WHERE rank <= 5)
+        SELECT x.query_id, COUNT(a.lsh_neighbor) AS n_hits,
+               COUNT(a.lsh_neighbor) / 5 AS recall
+        FROM exact x LEFT JOIN approx a
+          ON x.query_id = a.query_id AND x.neighbor_id = a.lsh_neighbor
+        GROUP BY x.query_id
     """
 
     sql["lang_id"] = """
@@ -891,6 +988,80 @@ def oracle_sql() -> dict[str, str]:
                      (ROUND(AVG(ROUND(tp / (tp + fp + 1e-10), 6)), 6) +
                       ROUND(AVG(ROUND(tp / (tp + fn + 1e-10), 6)), 6) + 1e-10), 6) AS entity_f1
         FROM counts
+    """
+
+    from weak_supervision_for_ner_spark.functions.lexicons import LEGAL_SUFFIXES
+
+    _suffix_list = ", ".join(f"'{s}'" for s in sorted(LEGAL_SUFFIXES))
+    sql["etl_crunchbase"] = f"""
+        WITH orgs AS (
+            SELECT list_extract(['Acme','Globex','Initech','Umbrella','Nordic'],
+                                CAST(s_suppkey % 5 AS INTEGER) + 1) || ' ' ||
+                   list_extract(['Corp','Group','Labs','AS','Holdings'],
+                                CAST(s_suppkey % 4 AS INTEGER) + 1) AS name,
+                   list_extract(['company','investor','university','government'],
+                                CAST(s_suppkey % 4 AS INTEGER) + 1) AS org_type
+            FROM supplier),
+        org_rows AS (
+            SELECT DISTINCT name,
+                   CASE WHEN org_type IN ('company','investor')
+                        THEN 'COMPANY' ELSE 'ORG' END AS ne_class
+            FROM orgs),
+        ppl AS (
+            SELECT list_extract(['Mary Jane','John','Anna','Per Olav','Li'],
+                                CAST(c_custkey % 5 AS INTEGER) + 1) AS first_name,
+                   list_extract(['Smith','Olsen','Tanaka','Berg','Ng','Hansen','Lee'],
+                                CAST(c_custkey % 7 AS INTEGER) + 1) AS last_name
+            FROM customer WHERE c_custkey <= 200),
+        vars AS (
+            SELECT unnest(list_distinct(
+                CASE WHEN first_name LIKE '% %' THEN [
+                    first_name || ' ' || last_name,
+                    substring(first_name, 1, 1) || '. ' || last_name,
+                    split_part(first_name, ' ', 1) || ' ' || last_name,
+                    split_part(first_name, ' ', 1) || ' ' ||
+                        substring(split_part(first_name, ' ', 2), 1, 1) || '. ' || last_name,
+                    substring(split_part(first_name, ' ', 1), 1, 1) || '. ' ||
+                        substring(split_part(first_name, ' ', 2), 1, 1) || '. ' || last_name
+                ] ELSE [
+                    first_name || ' ' || last_name,
+                    substring(first_name, 1, 1) || '. ' || last_name
+                ] END)) AS name
+            FROM ppl),
+        person_rows AS (
+            SELECT DISTINCT name, 'PERSON' AS ne_class FROM vars
+            WHERE length(name) > 2
+              AND lower(regexp_replace(name, '\\.+$', '')) NOT IN ({_suffix_list}))
+        SELECT name, ne_class FROM org_rows
+        UNION
+        SELECT name, ne_class FROM person_rows
+    """
+
+    sql["etl_products"] = """
+        WITH base AS (
+            SELECT DISTINCT list_extract(
+                ['IPad','EBook','Widget','Gizmo Pro','Consoles','IBex','Lens','Croc (reptile)'],
+                CAST(p_partkey % 8 AS INTEGER) + 1) AS name
+            FROM part WHERE p_partkey <= 300),
+        filt AS (
+            SELECT name, CASE WHEN name LIKE '%s' THEN 'es' ELSE 's' END AS sfx
+            FROM base WHERE name NOT LIKE '%(%'),
+        forms AS (
+            SELECT name, sfx, unnest(
+                CASE WHEN length(name) > 2
+                          AND substring(name,1,1) IN ('I','E')
+                          AND substring(name,2,1) = upper(substring(name,2,1))
+                          AND substring(name,2,1) <> lower(substring(name,2,1))
+                          AND substring(name,3,1) = lower(substring(name,3,1))
+                          AND substring(name,3,1) <> upper(substring(name,3,1))
+                     THEN [name, lower(substring(name,1,1)) || substring(name, 2)]
+                     ELSE [name] END) AS form
+            FROM filt),
+        plur AS (
+            SELECT unnest(CASE WHEN len(string_split(form, ' ')) <= 2
+                               THEN [form, form || sfx] ELSE [form] END) AS name
+            FROM forms)
+        SELECT DISTINCT name, 'PRODUCT' AS ne_class FROM plur
     """
 
     sql["eval_logloss"] = """

@@ -33,6 +33,45 @@ def test_expand_company_names(spark):
     assert "Telenor" in names
 
 
+def test_compile_crunchbase_table(spark):
+    from weak_supervision_for_ner_spark.sources.gazetteer import compile_crunchbase_table
+
+    orgs = spark.createDataFrame(
+        [("Acme Corp", "company"), ("Seq Cap", "investor"), ("MIT", "university")],
+        "name string, org_type string",
+    )
+    people = spark.createDataFrame(
+        [("Mary Jane", "Smith"), ("John", "Olsen")],
+        "first_name string, last_name string",
+    )
+    rows = {(r["name"], r["ne_class"])
+            for r in compile_crunchbase_table(orgs, people).collect()}
+    assert ("Acme Corp", "COMPANY") in rows and ("Seq Cap", "COMPANY") in rows
+    assert ("MIT", "ORG") in rows
+    # spaced first name: all five reference variants (annotations.py:1608-1615)
+    for v in ["Mary Jane Smith", "M. Smith", "Mary Smith", "Mary J. Smith", "M. J. Smith"]:
+        assert (v, "PERSON") in rows
+    assert ("John Olsen", "PERSON") in rows and ("J. Olsen", "PERSON") in rows
+    assert ("John Smith", "PERSON") not in rows
+
+
+def test_compile_product_table(spark):
+    from weak_supervision_for_ner_spark.sources.gazetteer import compile_product_table
+
+    prods = spark.createDataFrame(
+        [("IPad",), ("Consoles",), ("Gizmo Pro",), ("Croc (reptile)",),
+         ("Red Hot Widget",)],
+        "name string",
+    )
+    rows = {r["name"] for r in compile_product_table(prods).collect()}
+    # iPad-case variant + plurals driven by the ORIGINAL name's ending
+    assert {"IPad", "iPad", "IPads", "iPads"} <= rows
+    assert {"Consoles", "Consoleses"} <= rows          # reference-faithful
+    assert {"Gizmo Pro", "Gizmo Pros"} <= rows
+    assert "Croc (reptile)" not in rows                # parenthesis filter
+    assert "Red Hot Widget" in rows and "Red Hot Widgets" not in rows  # >2 words
+
+
 def test_truecase_tokens():
     from weak_supervision_for_ner_spark.functions.truecase import truecase_tokens
 

@@ -127,3 +127,28 @@ def test_hmm_spark_fit_and_decode(spark, tmp_path):
     import numpy as np
 
     assert np.allclose(model2.emission_probs, model.emission_probs)
+
+
+def test_hmm_tree_combine_matches_flat_collect(spark):
+    """E-step stats summed through the tree-combine level at 256
+    partitions must reproduce the flat-collect fit (same logprob
+    history up to float summation order, same parameters)."""
+    import numpy as np
+
+    from weak_supervision_for_ner_spark.operators.hmm import HMMAggregator
+
+    pages = synth_pages(spark, 60, partitions=3)
+    annotated = annotate_pages(pages).persist()
+
+    flat = HMMAggregator(n_iter=2)
+    flat.fit_spark(spark, annotated, tree_combine=False)
+
+    wide = HMMAggregator(n_iter=2)
+    wide.fit_spark(spark, annotated.repartition(256), tree_combine=True, combine_fanin=16)
+
+    assert len(flat.history) == len(wide.history)
+    for a, b in zip(flat.history, wide.history):
+        assert a == pytest.approx(b, rel=1e-9)
+    assert np.allclose(flat.emission_probs, wide.emission_probs)
+    assert np.allclose(flat.transmat_, wide.transmat_)
+    annotated.unpersist()

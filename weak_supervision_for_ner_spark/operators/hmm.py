@@ -29,7 +29,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from weak_supervision_for_ner_spark.operators.aggregate import (
@@ -367,13 +367,27 @@ class HMMAggregator:
         annotated: DataFrame,
         checkpoint_dir: str | None = None,
         resume: bool = False,
+        tree_combine: bool | str = "auto",
+        combine_fanin: int = 32,
     ) -> "HMMAggregator":
         """Baum-Welch over an annotated DataFrame.
 
         Per iteration: ONE narrow mapInPandas pass emitting one
-        partial-stats row per partition (map-side combine), final sum
-        on the driver (32 partitions -> 32 rows; use treeReduce depth 2
-        beyond ~1000 partitions), numpy M-step, checkpoint, re-broadcast.
+        partial-stats row per partition (map-side combine), then either
+        a direct driver sum (few partitions) or a tree-combine level —
+        a groupBy(partition_id % fanin) applyInPandas that pre-sums the
+        ~2.3 MB obs matrices so the driver receives ``combine_fanin``
+        rows instead of one per partition (O(fanin) driver traffic at
+        any cluster size; at 10k partitions the flat collect would be
+        ~23 GB). ``tree_combine="auto"`` turns the extra level on when
+        defaultParallelism >= 128, so small/local runs skip the extra
+        stage. Then numpy M-step, checkpoint, re-broadcast.
+
+        Convergence follows the reference (hmmlearn ConvergenceMonitor,
+        labelling.py:238): stop when the SIGNED logprob delta drops
+        below ``tol``, an absolute criterion — a decrease also stops
+        (with a warning in hmmlearn; silently here), and ``n_iter``
+        caps the loop either way.
         """
         annotated = annotated.select("tokens", "spans")
 
@@ -435,11 +449,16 @@ class HMMAggregator:
                 T.StructField("trans", T.BinaryType()),
                 T.StructField("obs", T.BinaryType()),
             ])
-            rows = annotated.mapInPandas(e_step_partition, schema=schema).collect()
+            stats = annotated.mapInPandas(e_step_partition, schema=schema)
+            use_tree = tree_combine is True or (
+                tree_combine == "auto" and sc.defaultParallelism >= 128
+            )
+            if use_tree:
+                stats = _tree_combine_stats(stats, schema, combine_fanin)
+            rows = stats.collect()
             params_bc.destroy()
 
             curr_logprob = sum(r["logprob"] for r in rows)
-            n_docs = sum(r["n_docs"] for r in rows)
             start = sum(np.frombuffer(r["start"]).reshape(N_STATES) for r in rows)
             trans = sum(np.frombuffer(r["trans"]).reshape(N_STATES, N_STATES) for r in rows)
             obs = sum(np.frombuffer(r["obs"]).reshape(N_SOURCES, N_STATES, N_STATES) for r in rows)
@@ -449,7 +468,7 @@ class HMMAggregator:
             if checkpoint_dir:
                 self.save(os.path.join(checkpoint_dir, f"iter_{iteration:03d}"),
                           iteration, float(curr_logprob))
-            if prev_logprob is not None and abs(curr_logprob - prev_logprob) < self.tol * max(n_docs, 1):
+            if prev_logprob is not None and curr_logprob - prev_logprob < self.tol:
                 break
             prev_logprob = curr_logprob
         return self
@@ -481,6 +500,34 @@ class HMMAggregator:
                 )
 
         return annotated.mapInPandas(run, schema=MENTIONS_SCHEMA)
+
+
+def _tree_combine_stats(stats: DataFrame, schema, fanin: int) -> DataFrame:
+    """Second aggregation level for the E-step partials: shuffle the
+    one-row-per-partition stats to ``fanin`` groups and sum inside each
+    with applyInPandas, bounding driver traffic at O(fanin) rows
+    regardless of the input partition count."""
+
+    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        start = sum(np.frombuffer(b).reshape(N_STATES) for b in pdf["start"])
+        trans = sum(np.frombuffer(b).reshape(N_STATES, N_STATES) for b in pdf["trans"])
+        obs = sum(
+            np.frombuffer(b).reshape(N_SOURCES, N_STATES, N_STATES) for b in pdf["obs"]
+        )
+        return pd.DataFrame({
+            "logprob": [pdf["logprob"].sum()],
+            "n_docs": [int(pdf["n_docs"].sum())],
+            "n_tokens": [int(pdf["n_tokens"].sum())],
+            "start": [start.tobytes()], "trans": [trans.tobytes()],
+            "obs": [obs.tobytes()],
+        })
+
+    return (
+        stats
+        .withColumn("g", F.spark_partition_id() % F.lit(fanin))
+        .groupBy("g")
+        .applyInPandas(lambda _key, pdf: combine(pdf), schema=schema)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -95,3 +95,35 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine", "rank")
     )
+
+
+def lsh_recall(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5,
+    n_planes: int = 8, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
+) -> DataFrame:
+    """Recall@k of the LSH index vs the exact brute-force top-k, one
+    row per query: (query_id, n_hits, recall). This turns the
+    approximate index into a CHECKABLE operator — the metric is
+    deterministic (seeded planes, deterministic tie-breaks), so an
+    oracle can assert it instead of trusting 'runs without error'."""
+    exact = brute_force_topk(embeddings, queries, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    approx = lsh_topk(embeddings, queries, k, n_planes, dim, id_col, vec_col, seed).select(
+        "query_id", F.col("neighbor_id").alias("lsh_neighbor")
+    )
+    hits = (
+        exact.join(
+            approx,
+            (exact["query_id"] == approx["query_id"])
+            & (exact["neighbor_id"] == approx["lsh_neighbor"]),
+            "left",
+        )
+        .select(exact["query_id"], approx["lsh_neighbor"])
+        .groupBy("query_id")
+        .agg(F.count("lsh_neighbor").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id", "n_hits", (F.col("n_hits") / F.lit(k)).alias("recall")
+    )

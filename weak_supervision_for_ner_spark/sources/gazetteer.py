@@ -188,6 +188,94 @@ def compile_gazetteer_table(
     ).select(name_col, class_col)
 
 
+def compile_crunchbase_table(orgs: DataFrame, people: DataFrame) -> DataFrame:
+    """Crunchbase-style gazetteer ETL (annotations.py:1578-1624) as one
+    declarative pipeline:
+
+    - organisations(name, org_type): rows typed ``company``/``investor``
+      become COMPANY, everything else ORG (the reference's two-set
+      split, :1593-1596) — a when/otherwise, no Python loop;
+    - people(first_name, last_name): the reference's name-variant
+      explosion (:1608-1615) as an array + explode — "First Last",
+      "F. Last", and for spaced first names "First1 Last",
+      "First1 F2. Last", "F1. F2. Last";
+    - person variants shorter than 3 chars or equal to a legal suffix
+      are dropped (:1620).
+    """
+    from weak_supervision_for_ner_spark.functions.lexicons import LEGAL_SUFFIXES
+
+    org_rows = orgs.select(
+        F.col("name"),
+        F.when(F.col("org_type").isin("company", "investor"), F.lit("COMPANY"))
+        .otherwise(F.lit("ORG"))
+        .alias("ne_class"),
+    )
+
+    first, last = F.col("first_name"), F.col("last_name")
+    fs = F.split(first, " ", 2)
+    has_space = F.size(F.split(first, " ")) > 1
+    dot = F.lit(".")
+    v_full = F.concat_ws(" ", first, last)
+    v_initial = F.concat_ws(" ", F.concat(F.substring(first, 1, 1), dot), last)
+    v_first1 = F.concat_ws(" ", fs[0], last)
+    v_mid_initial = F.concat_ws(
+        " ", fs[0], F.concat(F.substring(fs[1], 1, 1), dot), last
+    )
+    v_both_initials = F.concat_ws(
+        " ",
+        F.concat(F.substring(fs[0], 1, 1), dot),
+        F.concat(F.substring(fs[1], 1, 1), dot),
+        last,
+    )
+    variants = F.when(
+        has_space,
+        F.array(v_full, v_initial, v_first1, v_mid_initial, v_both_initials),
+    ).otherwise(F.array(v_full, v_initial))
+    person_rows = (
+        people.select(F.explode(F.array_distinct(variants)).alias("name"))
+        .filter(F.length("name") > 2)
+        .filter(
+            ~F.lower(F.regexp_replace("name", r"\.+$", "")).isin(sorted(LEGAL_SUFFIXES))
+        )
+        .select("name", F.lit("PERSON").alias("ne_class"))
+    )
+    return org_rows.unionByName(person_rows).distinct()
+
+
+def compile_product_table(products: DataFrame, name_col: str = "name") -> DataFrame:
+    """Product gazetteer ETL (compile_product_data,
+    annotations.py:1627-1650): drop parenthesised names, add the
+    iPad-case variant for titled entries (``IPad -> iPad``, first char
+    I/E + upper + lower, :1639-1641), and pluralise names of at most
+    two words — faithfully using the ORIGINAL name's trailing 's' to
+    pick the suffix, exactly like the reference (:1644-1646).
+    """
+    name = F.col(name_col)
+    base = products.filter(~name.contains("(")).select(name.alias("name"))
+    c1, c2, c3 = (F.substring("name", i, 1) for i in (1, 2, 3))
+    ipad = F.when(
+        (F.length("name") > 2)
+        & c1.isin("I", "E")
+        & (c2 == F.upper(c2)) & (c2 != F.lower(c2))
+        & (c3 == F.lower(c3)) & (c3 != F.upper(c3)),
+        F.concat(F.lower(c1), F.expr("substring(name, 2)")),
+    )
+    plural_suffix = F.when(F.col("name").endswith("s"), F.lit("es")).otherwise(F.lit("s"))
+    forms = F.filter(F.array(name, ipad), lambda x: x.isNotNull())
+    expanded = base.select(
+        "name", plural_suffix.alias("sfx"), F.explode(forms).alias("form")
+    )
+    with_plurals = expanded.select(
+        F.explode(
+            F.when(
+                F.size(F.split("form", " ")) <= 2,
+                F.array(F.col("form"), F.concat("form", "sfx")),
+            ).otherwise(F.array(F.col("form")))
+        ).alias("name")
+    )
+    return with_plurals.select("name", F.lit("PRODUCT").alias("ne_class")).distinct()
+
+
 def expand_company_names(gazetteer: DataFrame, name_col: str = "name") -> DataFrame:
     """Name-variant expansion to fixpoint (strip legal suffixes and
     generic tokens), reference ``get_alternative_company_names``
