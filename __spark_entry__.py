@@ -550,6 +550,36 @@ def q_pages_eval_mv(spark, sf_dir):
     return evaluate_mentions(gold, pred, mappings=CONLL_MAPPINGS, keep=CONLL_TO_RETAIN)
 
 
+def q_pages_snorkel(spark, sf_dir):
+    """Snorkel-style generative label-model mentions (reference
+    labelling.py:534-590; Dawid-Skene EM over span votes)."""
+    from weak_supervision_for_ner_spark.operators.annotate import annotate_pages
+    from weak_supervision_for_ner_spark.operators.labelmodel import LabelModelAggregator
+
+    annotated = annotate_pages(_pages(spark, sf_dir)).persist()
+    model = LabelModelAggregator(n_iter=5)
+    model.fit_spark(spark, annotated)
+    return model.decode_spark(spark, annotated)
+
+
+def q_pages_eval_snorkel(spark, sf_dir):
+    """Label-model quality vs generator gold, CoNLL-mapped — the
+    paper's Snorkel-baseline row (notebook cell 100: 0.666 entity F1,
+    below MV 0.690 and HMM 0.730; same ordering holds here)."""
+    from weak_supervision_for_ner_spark.operators.annotate import annotate_pages
+    from weak_supervision_for_ner_spark.operators.evaluate import evaluate_mentions
+    from weak_supervision_for_ner_spark.operators.labelmodel import LabelModelAggregator
+    from weak_supervision_for_ner_spark.schema import CONLL_MAPPINGS, CONLL_TO_RETAIN
+    from weak_supervision_for_ner_spark.sources.pages import synth_gold
+
+    annotated = annotate_pages(_pages(spark, sf_dir)).persist()
+    model = LabelModelAggregator(n_iter=5)
+    model.fit_spark(spark, annotated)
+    pred = model.decode_spark(spark, annotated)
+    gold = synth_gold(spark, _n_docs(sf_dir))
+    return evaluate_mentions(gold, pred, mappings=CONLL_MAPPINGS, keep=CONLL_TO_RETAIN)
+
+
 def q_pages_eval_hmm(spark, sf_dir):
     """HMM-aggregation quality vs generator gold, CoNLL-mapped
     (the reference's notebook-cell-100 evaluation, SURVEY.md §6)."""
@@ -620,6 +650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_kg_quality": q_pages_kg_quality,
         "pages_eval_mv": q_pages_eval_mv,
         "pages_eval_hmm": q_pages_eval_hmm,
+        "pages_snorkel": q_pages_snorkel,
+        "pages_eval_snorkel": q_pages_eval_snorkel,
     }
 
 

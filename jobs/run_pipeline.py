@@ -55,12 +55,15 @@ def main() -> None:
         checkpoint_dir=args.checkpoint_dir,
         lineage_path=args.lineage,
         with_metrics=args.metrics,
+        mentions_consumed=bool(args.mentions_out or args.mentions_json),
     )
     write_graph(graph, args.output)
     if args.mentions_out:
         write_mentions(mentions, args.mentions_out)
     if args.mentions_json:
         mentions.write.mode("overwrite").json(args.mentions_json)
+    annotated.unpersist()
+    mentions.unpersist()
     print(f"graph written to {args.output}: {spark.read.parquet(args.output).count()} triples")
 
 

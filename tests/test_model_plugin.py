@@ -1,0 +1,61 @@
+"""Model-annotator plug-in seam (annotations.py:478-542): a fake
+"model" source flows annotate -> model -> specialise -> HMM, proving
+extract_sequence and the aggregators handle dynamically-added sources
+registered in schema.SOURCE_NAMES."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def with_model(spark):
+    from weak_supervision_for_ner_spark.operators.annotate import annotate_pages
+    from weak_supervision_for_ner_spark.operators.model_annotator import (
+        annotate_with_model,
+        fake_gpe_model,
+    )
+    from weak_supervision_for_ner_spark.sources.pages import synth_pages
+
+    annotated = annotate_pages(synth_pages(spark, 60, partitions=3))
+    return annotate_with_model(annotated, fake_gpe_model()).persist()
+
+
+def test_model_source_lands_in_mentions(spark, with_model):
+    from weak_supervision_for_ner_spark.operators.annotate import mentions_from_annotated
+
+    mentions = mentions_from_annotated(with_model)
+    model_rows = mentions.filter("source = 'model_annotator'").collect()
+    assert model_rows, "fake model produced no spans"
+    assert all(r["label"] == "GPE" and r["conf"] == 0.85 for r in model_rows)
+    assert any(r["text"] == "Oslo" for r in model_rows)
+
+
+def test_unregistered_source_is_rejected(spark, with_model):
+    from weak_supervision_for_ner_spark.operators.model_annotator import (
+        annotate_with_model,
+        fake_gpe_model,
+    )
+
+    with pytest.raises(ValueError):
+        annotate_with_model(with_model, fake_gpe_model(), source_name="not_registered")
+
+
+def test_model_source_feeds_extract_sequence_and_hmm(spark, with_model):
+    from weak_supervision_for_ner_spark.operators.aggregate import sequence_from_spans
+    from weak_supervision_for_ner_spark.operators.hmm import HMMAggregator
+    from weak_supervision_for_ner_spark.schema import LABEL_INDICES, SOURCE_INDICES
+
+    rows = with_model.collect()
+    si = SOURCE_INDICES["model_annotator"]
+    gpe_u = LABEL_INDICES["U-GPE"]
+    saw_vote = False
+    for r in rows:
+        X = sequence_from_spans(list(r["spans"]), len(r["tokens"]))
+        if (X[:, si, gpe_u] > 0).any():
+            saw_vote = True
+            break
+    assert saw_vote, "model votes never reached the observation tensor"
+
+    model = HMMAggregator(n_iter=2)
+    model.fit_spark(spark, with_model)
+    decoded = model.decode_spark(spark, with_model)
+    assert decoded.filter("label = 'GPE'").count() > 0

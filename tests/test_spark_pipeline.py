@@ -152,3 +152,29 @@ def test_hmm_tree_combine_matches_flat_collect(spark):
     assert np.allclose(flat.emission_probs, wide.emission_probs)
     assert np.allclose(flat.transmat_, wide.transmat_)
     annotated.unpersist()
+
+
+def test_pipeline_fused_reuse_matches_direct(spark, tmp_path):
+    """mentions_consumed=True routes triple extraction through the
+    persisted annotated cache (labelling once end-to-end) and must
+    produce the identical graph; lineage records LSH-drop and
+    CC-convergence counters so truncation is never silent."""
+    import json
+
+    pages = synth_pages(spark, 80, partitions=3).persist()
+    _, _, g_direct = run_kg_pipeline(spark, pages, aggregator="majority")
+    lineage_path = str(tmp_path / "lineage.json")
+    _, _, g_fused = run_kg_pipeline(
+        spark, pages, aggregator="majority",
+        mentions_consumed=True, lineage_path=lineage_path,
+    )
+    cols = g_direct.columns
+    direct = sorted(map(tuple, g_direct.select(*cols).collect()))
+    fused = sorted(map(tuple, g_fused.select(*cols).collect()))
+    assert direct == fused
+
+    with open(lineage_path) as fd:
+        records = {r["stage"]: r for r in json.load(fd)}
+    graph_rec = records["graph"]
+    assert "dropped_buckets" in graph_rec and "unconverged_labels" in graph_rec
+    assert graph_rec["unconverged_labels"] == 0

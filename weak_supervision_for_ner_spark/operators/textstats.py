@@ -78,7 +78,6 @@ def token_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
     (ceil(chars/4) is the classic approximation)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     ws = F.when(F.length(F.trim(F.col(text_col))) == 0, 0).otherwise(F.size(toks))
-    words = F.size(F.split(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " "), r"\s+"))
     return documents.select(
         "doc_id",
         ws.alias("ws_tokens"),

@@ -335,11 +335,14 @@ def minhash_signatures(
 
 def lsh_candidate_pairs(
     signatures: DataFrame, id_col: str = "name", n_hashes: int = 16,
-    bands: int = 4, max_bucket: int = 64,
+    bands: int = 4, max_bucket: int = 64, stats: dict | None = None,
 ) -> DataFrame:
     """Band the signatures, groupBy (band, key) and emit intra-bucket
-    pairs. Buckets above ``max_bucket`` are dropped with a counted
-    lineage metric (skew guard for boilerplate mega-buckets).
+    pairs. Buckets above ``max_bucket`` are dropped (skew guard for
+    boilerplate mega-buckets); pass ``stats`` (a dict) to have the drop
+    COUNTED — it is filled with ``dropped_buckets``/``dropped_members``
+    via one extra small aggregation job, so truncation is observable in
+    lineage instead of silent.
 
     Banding is a single pass: the per-band bucket keys become an array
     column that is exploded — no n-way union re-reading the input."""
@@ -359,6 +362,15 @@ def lsh_candidate_pairs(
     bucketed = banded.groupBy("band", "bucket").agg(
         F.collect_list(id_col).alias("members"), F.count(F.lit(1)).alias("sz")
     )
+    if stats is not None:
+        bucketed = bucketed.persist()
+        dropped = (
+            bucketed.filter(F.col("sz") > max_bucket)
+            .agg(F.count(F.lit(1)).alias("nb"), F.coalesce(F.sum("sz"), F.lit(0)).alias("nm"))
+            .collect()[0]
+        )
+        stats["dropped_buckets"] = int(dropped["nb"])
+        stats["dropped_members"] = int(dropped["nm"])
     kept = bucketed.filter(F.col("sz") <= max_bucket)
     # Intra-bucket pairs: double explode is fine because buckets are
     # capped at max_bucket members.
@@ -373,7 +385,8 @@ def lsh_candidate_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, max_rounds: int = 3, convergence_check: bool = False
+    pairs: DataFrame, max_rounds: int = 3, convergence_check: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Smallest-id label propagation over an undirected pair list.
     Returns (name, canonical).
@@ -385,7 +398,14 @@ def connected_components(
     converge in practice. ``convergence_check=True`` switches to the
     classic materialize-per-round loop (localCheckpoint + changed
     count) for unbounded components — use it when component diameter
-    is unknown (and set a cluster checkpoint dir at real scale)."""
+    is unknown (and set a cluster checkpoint dir at real scale).
+
+    Pass ``stats`` (a dict) to make non-convergence OBSERVABLE in lazy
+    mode: after the unrolled rounds one extra propagation runs and
+    ``stats['unconverged_labels']`` records how many labels would still
+    change — 0 certifies the rounds sufficed; >0 means components with
+    diameter beyond the budget were split (switch to
+    ``convergence_check=True`` for those corpora)."""
     # Symmetric edges from ONE explode pass, not a self-union (a
     # self-union of an uncached upstream computes it twice in one job).
     edges = (
@@ -427,14 +447,30 @@ def connected_components(
                 labels = new_labels
                 break
         labels = new_labels
+    if stats is not None and not convergence_check:
+        labels = labels.localCheckpoint()
+        neigh = (
+            edges.join(labels.withColumnRenamed("name", "y"), on="y")
+            .groupBy("x").agg(F.min("canonical").alias("n_min"))
+        )
+        stats["unconverged_labels"] = (
+            labels.join(neigh.withColumnRenamed("x", "name"), on="name")
+            .filter(F.col("n_min") < F.col("canonical"))
+            .count()
+        )
     return labels
 
 
 def canonicalize_triples(
-    spark: SparkSession, linked: DataFrame, n_hashes: int = 16, bands: int = 4
+    spark: SparkSession, linked: DataFrame, n_hashes: int = 16, bands: int = 4,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Map every unlinked surface form to a canonical representative
-    via minhash-LSH + connected components, then finalize ids."""
+    via minhash-LSH + connected components, then finalize ids.
+
+    With ``stats`` provided, LSH mega-bucket drops and CC
+    non-convergence counts are recorded there (and surfaced through the
+    pipeline's lineage log) so neither truncation is silent."""
     linked = linked.persist()  # read by the LSH pass and the final rewrite
     # Single-pass extraction of unlinked surface forms (explode, not a
     # self-union that would double-compute the uncached upstream).
@@ -449,8 +485,8 @@ def canonicalize_triples(
         .distinct()
     )
     sigs = minhash_signatures(unlinked, "name", n_hashes)
-    pairs = lsh_candidate_pairs(sigs, "name", n_hashes, bands)
-    components = connected_components(pairs)
+    pairs = lsh_candidate_pairs(sigs, "name", n_hashes, bands, stats=stats)
+    components = connected_components(pairs, stats=stats)
 
     out = linked
     for side in ("subj", "obj"):

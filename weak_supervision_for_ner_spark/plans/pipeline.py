@@ -25,6 +25,7 @@ from weak_supervision_for_ner_spark.operators.triples import (
     canonicalize_triples,
     extract_triples,
     extract_triples_direct,
+    extract_triples_fused,
     link_entities,
     materialize_graph,
 )
@@ -76,16 +77,25 @@ def run_kg_pipeline(
     checkpoint_dir: str | None = None,
     lineage_path: str | None = None,
     with_metrics: bool = False,
+    mentions_consumed: bool = False,
 ):
     """pages -> (annotated, mentions, graph) DataFrames.
 
     aggregator: 'majority' (stateless, zero extra passes) or 'hmm'
     (EM driver loop; params checkpointed per iteration).
+
+    ``mentions_consumed``: set True when the caller will materialize
+    the mentions/annotated tables as well as the graph (e.g.
+    --mentions-out). The majority-path triple extraction then reads the
+    PERSISTED annotated table (labelling runs exactly once in total)
+    instead of the pages-fused stage, which is fastest when the graph
+    is the only output but would re-run the 35-function labelling
+    stage if annotated is also materialized.
     """
     lineage = Lineage(lineage_path)
 
-    # The annotated table feeds the aggregator AND the triple join;
-    # persist it so the (expensive) labelling stage runs exactly once.
+    # The annotated table feeds the aggregator AND (on the hmm/reuse
+    # paths) the triple extraction; persist it so labelling runs once.
     annotated = annotate_pages(pages).persist()
     if aggregator == "hmm":
         model = HMMAggregator(n_iter=hmm_iters)
@@ -101,17 +111,24 @@ def run_kg_pipeline(
     if aggregator == "hmm":
         # trained-model mentions are not per-doc recomputable: join path
         raw_triples = extract_triples(annotated, mentions)
+    elif mentions_consumed or with_metrics:
+        # annotated gets materialized anyway — reuse its cache so the
+        # labelling stage executes exactly once end-to-end
+        raw_triples = extract_triples_fused(annotated)
     else:
-        # majority voting is: maximally-fused single python stage over
+        # graph-only caller: maximally-fused single python stage over
         # pages — span structs never cross Arrow on the graph path
         raw_triples = extract_triples_direct(pages)
     if with_metrics:
         for row in stage_metrics(annotated).collect():
             lineage.stage("annotate_partition", **row.asDict())
     linked = link_entities(spark, raw_triples)
-    canonical = canonicalize_triples(spark, linked)
+    canon_stats: dict = {}
+    canonical = canonicalize_triples(
+        spark, linked, stats=canon_stats if lineage_path else None
+    )
     graph = materialize_graph(canonical)
-    lineage.stage("graph", graph)
+    lineage.stage("graph", graph, **canon_stats)
     return annotated, mentions, graph
 
 

@@ -50,6 +50,11 @@ SOURCE_NAMES = sorted(
         "company_type_detector", "full_name_detector",
         "misc_detector", "legal_detector",
         "doc_history", "doc_majority_cased", "doc_majority_uncased",
+        # plug-in slot for external model annotators (the reference
+        # registers spaCy models the same way, labelling.py:14-23);
+        # static on purpose: executors re-import this module, so the
+        # registry must ship with the package, not be mutated at runtime
+        "model_annotator",
     ]
     + [f"{gaz}_{case}" for gaz in GAZETTEERS for case in ("cased", "uncased")]
     + [f"multitoken_{gaz}_{case}" for gaz in GAZETTEERS for case in ("cased", "uncased")]
@@ -80,6 +85,8 @@ SOURCE_PRIORS: dict[str, dict[str, tuple[float, float]]] = {
     "infrequent_proper_detector": {l: ((0.7, 0.8) if l not in NUMBER_NERS else (0.01, 0.01)) for l in LABELS},
     "legal_detector": {"LAW": (0.8, 0.8)},
     "misc_detector": {l: (0.7, 0.7) for l in ["NORP", "EVENT", "FAC", "GPE", "LANGUAGE"]},
+    # neural-model prior mirroring the reference's core_web_md row
+    "model_annotator": {l: ((0.8, 0.8) if l not in NUMBER_NERS else (0.01, 0.01)) for l in LABELS},
     "money_detector": {"MONEY": (0.9, 0.9)},
     "multitoken_crunchbase_cased": {l: (0.8, 0.6) for l in ["PERSON", "ORG", "COMPANY"]},
     "multitoken_crunchbase_uncased": {l: (0.7, 0.7) for l in ["PERSON", "ORG", "COMPANY"]},
