@@ -550,6 +550,19 @@ def q_pages_eval_mv(spark, sf_dir):
     return evaluate_mentions(gold, pred, mappings=CONLL_MAPPINGS, keep=CONLL_TO_RETAIN)
 
 
+def q_pages_corrected(spark, sf_dir):
+    """Standalone entity-correction pass (spacy_wrapper.py:268-402)
+    over the aggregated majority mentions: cross-layer boundary/type
+    repair (currency extension, magnitude absorption, Q1 removal,
+    legal-suffix->ORG, MONEY-priority overlap merge)."""
+    from weak_supervision_for_ner_spark.operators.aggregate import majority_voter_mentions
+    from weak_supervision_for_ner_spark.operators.annotate import annotate_pages
+    from weak_supervision_for_ner_spark.operators.entity_correction import correct_mentions
+
+    annotated = annotate_pages(_pages(spark, sf_dir)).persist()
+    return correct_mentions(majority_voter_mentions(annotated), annotated)
+
+
 def q_pages_snorkel(spark, sf_dir):
     """Snorkel-style generative label-model mentions (reference
     labelling.py:534-590; Dawid-Skene EM over span votes)."""
@@ -652,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_eval_hmm": q_pages_eval_hmm,
         "pages_snorkel": q_pages_snorkel,
         "pages_eval_snorkel": q_pages_eval_snorkel,
+        "pages_corrected": q_pages_corrected,
     }
 
 
