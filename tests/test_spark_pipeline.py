@@ -178,3 +178,26 @@ def test_pipeline_fused_reuse_matches_direct(spark, tmp_path):
     graph_rec = records["graph"]
     assert "dropped_buckets" in graph_rec and "unconverged_labels" in graph_rec
     assert graph_rec["unconverged_labels"] == 0
+
+
+def test_cli_job_writes_graph_and_json_mentions(spark, tmp_path, monkeypatch):
+    """The spark-submit entry point end-to-end in-process: graph
+    parquet + mentions parquet + the convert_to_json sink."""
+    import sys
+
+    from jobs.run_pipeline import main
+
+    out = tmp_path / "graph"
+    ments = tmp_path / "mentions"
+    mjson = tmp_path / "mentions_json"
+    monkeypatch.setattr(sys, "argv", [
+        "run_pipeline.py", "--input", "synth:40", "--output", str(out),
+        "--mentions-out", str(ments), "--mentions-json", str(mjson),
+        "--lineage", str(tmp_path / "lineage.json"),
+    ])
+    main()
+    assert spark.read.parquet(str(out)).count() > 0
+    assert spark.read.parquet(str(ments)).count() > 0
+    json_rows = spark.read.json(str(mjson))
+    assert json_rows.count() > 0
+    assert {"url", "source", "start", "end", "label", "conf"} <= set(json_rows.columns)

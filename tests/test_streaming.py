@@ -57,3 +57,48 @@ def test_streaming_windowed_counts(spark, tmp_path):
     rows = spark.sql("select * from win_counts").collect()
     assert rows
     assert all(r["n_mentions"] > 0 for r in rows)
+
+
+def test_streaming_stateful_dedup_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState exact dedup: the state (first-seen url per
+    content hash) must survive across micro-batches, so a re-crawl in a
+    LATER batch is flagged as a duplicate of the first batch's url."""
+    from pyspark.sql import Row
+
+    from weak_supervision_for_ner_spark.schema import PAGES_SCHEMA
+    from weak_supervision_for_ner_spark.streaming.ingest import (
+        read_pages_stream,
+        streaming_dedup,
+    )
+
+    in_path = str(tmp_path / "pages")
+    text_a, text_b = "shared boilerplate page .", "unique article text ."
+
+    def page(url, text):
+        import datetime
+
+        return Row(url=url, warc_ts=datetime.datetime(2026, 1, 1), html=b"",
+                   text=text, lang="en")
+
+    batch1 = spark.createDataFrame([page("u1", text_a), page("u2", text_b)], PAGES_SCHEMA)
+    batch2 = spark.createDataFrame([page("u3", text_a)], PAGES_SCHEMA)
+    batch1.coalesce(1).write.mode("overwrite").parquet(in_path)
+    batch2.coalesce(1).write.mode("append").parquet(in_path)
+
+    out = streaming_dedup(read_pages_stream(spark, in_path, max_files=1))
+    q = (
+        out.writeStream.format("memory").queryName("dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["url"]: (r["first_url"], r["is_duplicate"])
+            for r in spark.sql("SELECT * FROM dedup_stream").collect()}
+    assert rows["u2"] == ("u2", False)
+    # exactly one of u1/u3 is first-seen; the other is its duplicate
+    assert {rows["u1"][1], rows["u3"][1]} == {False, True}
+    first = "u1" if not rows["u1"][1] else "u3"
+    dup = "u3" if first == "u1" else "u1"
+    assert rows[dup][0] == first and rows[first][0] == first

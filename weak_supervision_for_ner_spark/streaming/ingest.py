@@ -94,3 +94,60 @@ def run_stream_to_parquet(
         .start()
     )
     q.awaitTermination(timeout_sec)
+
+
+def streaming_dedup(pages_stream: DataFrame, timeout_minutes: int = 60) -> DataFrame:
+    """Custom stateful operator: cross-micro-batch EXACT dedup.
+
+    ``applyInPandasWithState`` keyed by md5(text): the state is the
+    first-seen url per content hash; later arrivals (any micro-batch)
+    are emitted as (text_hash, url, first_url, is_duplicate=true) and
+    first arrivals pass through with is_duplicate=false. State expires
+    after ``timeout_minutes`` of processing time so the store stays
+    bounded on an unbounded crawl (re-crawls beyond the horizon are
+    treated as fresh — the batch dedup job is the exactness backstop).
+    """
+    from typing import Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("text_hash", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("first_url", T.StringType()),
+        T.StructField("is_duplicate", T.BooleanType()),
+    ])
+    state_schema = T.StructType([T.StructField("first_url", T.StringType())])
+
+    def dedup(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (text_hash,) = key
+        first_url = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            for url in sorted(pdf["url"]):
+                if first_url is None:
+                    first_url = url
+                    rows.append((text_hash, url, url, False))
+                else:
+                    rows.append((text_hash, url, first_url, True))
+        state.update((first_url,))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(rows, columns=["text_hash", "url", "first_url", "is_duplicate"])
+
+    hashed = pages_stream.select(
+        F.md5(F.col("text")).alias("text_hash"), F.col("url")
+    )
+    return hashed.groupBy("text_hash").applyInPandasWithState(
+        dedup,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
