@@ -242,3 +242,46 @@ def test_multimodal_unregistered_decoder_raises(spark):
     )
     with pytest.raises(Exception, match="(?i)decoder|NotImplemented|PythonException"):
         mm.extract_features(media).collect()
+
+
+def test_multimodal_resize_images(spark):
+    from weak_supervision_for_ner_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        [("m1", "image", "image/png", bytearray(b"AAA"), None, None, None),
+         ("m2", "audio", "audio/wav", bytearray(b"BBB"), None, None, 2000)],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    rows = mm.resize_images(
+        media, width=4, height=2, decoder=mm.deterministic_fake_decoder
+    ).collect()
+    assert [r["media_id"] for r in rows] == ["m1"]   # non-images filtered
+    r = rows[0]
+    assert (r["width"], r["height"], len(r["pixels"])) == (4, 2, 8)
+    # area-average keeps values inside the decoded range
+    assert all(0.0 <= p <= 1.0 for p in r["pixels"])
+
+
+def test_multimodal_sample_frames(spark):
+    from weak_supervision_for_ner_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        [("v1", "video", "video/mp4", bytearray(b"VID"), None, None, 3500),
+         ("a1", "audio", "audio/wav", bytearray(b"AUD"), None, None, 1000),
+         ("m1", "image", "image/png", bytearray(b"IMG"), None, None, None)],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    rows = mm.sample_frames(
+        media, every_ms=1000, max_frames=8, dim=4,
+        decoder=mm.deterministic_fake_decoder,
+    ).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert "m1" not in by_media                       # images filtered
+    assert len(by_media["v1"]) == 3                   # 3500ms // 1000ms
+    assert [r["t_ms"] for r in sorted(by_media["v1"], key=lambda r: r["frame_idx"])] == [0, 1000, 2000]
+    assert len(by_media["a1"]) == 1
+    # frames are deterministic AND distinct per timestamp
+    f0, f1 = (sorted(by_media["v1"], key=lambda r: r["frame_idx"])[i]["feature"] for i in (0, 1))
+    assert f0 != f1 and len(f0) == 4

@@ -161,7 +161,10 @@ class LabelModelAggregator:
 
     # -- Spark driver loop --------------------------------------------------
 
-    def fit_spark(self, spark: SparkSession, annotated: DataFrame) -> "LabelModelAggregator":
+    def fit_spark(
+        self, spark: SparkSession, annotated: DataFrame,
+        tree_combine: bool | str = "auto", combine_fanin: int = 32,
+    ) -> "LabelModelAggregator":
         annotated = annotated.select("spans")
         self.log_prior, self.log_conf = self._init_params()
         sc = spark.sparkContext
@@ -171,6 +174,24 @@ class LabelModelAggregator:
             T.StructField("prior_c", T.BinaryType()),
             T.StructField("vote_c", T.BinaryType()),
         ])
+        # same driver-traffic bound as HMMAggregator.fit_spark: each
+        # partial row carries ~150 KB of vote counts, so beyond ~128
+        # partitions a groupBy(partition_id % fanin) pre-sum keeps the
+        # collect at O(fanin) rows
+        use_tree = tree_combine is True or (
+            tree_combine == "auto" and sc.defaultParallelism >= 128
+        )
+
+        def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+            prior_c = sum(np.frombuffer(b).reshape(N_CLASSES) for b in pdf["prior_c"])
+            vote_c = sum(
+                np.frombuffer(b).reshape(N_CLASSES, len(SOURCE_NAMES), N_OUTCOMES)
+                for b in pdf["vote_c"]
+            )
+            return pd.DataFrame({
+                "loglik": [pdf["loglik"].sum()],
+                "prior_c": [prior_c.tobytes()], "vote_c": [vote_c.tobytes()],
+            })
         for _ in range(self.n_iter):
             params_bc = sc.broadcast((self.log_prior, self.log_conf, self.smoothing))
             def e_step(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -191,7 +212,15 @@ class LabelModelAggregator:
                     "vote_c": [vote_c.tobytes()],
                 })
 
-            rows = annotated.mapInPandas(e_step, schema=schema).collect()
+            stats = annotated.mapInPandas(e_step, schema=schema)
+            if use_tree:
+                stats = (
+                    stats
+                    .withColumn("g", F.spark_partition_id() % F.lit(combine_fanin))
+                    .groupBy("g")
+                    .applyInPandas(lambda _key, pdf: combine(pdf), schema=schema)
+                )
+            rows = stats.collect()
             params_bc.destroy()
             prior_c = sum(
                 np.frombuffer(r["prior_c"]).reshape(N_CLASSES) for r in rows

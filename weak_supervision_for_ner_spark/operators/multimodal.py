@@ -107,3 +107,98 @@ def media_stats(media: DataFrame) -> DataFrame:
             F.max(F.length("payload")).alias("max_bytes"),
         )
     )
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("pixels", T.ArrayType(T.FloatType()), False),
+])
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("t_ms", T.LongType(), False),
+    T.StructField("feature", T.ArrayType(T.FloatType()), False),
+])
+
+
+def resize_images(
+    media: DataFrame, width: int = 4, height: int = 4,
+    decoder: Decoder | None = None,
+) -> DataFrame:
+    """Decode → resize inside Arrow batches (the PIL.thumbnail slot).
+
+    The resize itself is a deterministic area-average over the decoded
+    2-D array, so the PLUMBING (batch shape, output schema, row
+    explosion) is fully real; only the byte→array decode is behind the
+    decoder seam. Output: one row per image with the row-major resized
+    pixel array."""
+    decoder = decoder or _DECODER
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if kind != "image":
+                    continue
+                if decoder is None:
+                    raise NotImplementedError(
+                        "no media decoder registered — pass decoder= or call register_decoder()"
+                    )
+                arr = np.atleast_2d(decoder(bytes(payload or b""), kind))
+                h, w = arr.shape[:2]
+                ys = np.linspace(0, h, height + 1).astype(int)
+                xs = np.linspace(0, w, width + 1).astype(int)
+                out = np.empty((height, width), dtype=np.float32)
+                for i in range(height):
+                    for j in range(width):
+                        block = arr[ys[i]:max(ys[i + 1], ys[i] + 1),
+                                    xs[j]:max(xs[j + 1], xs[j] + 1)]
+                        out[i, j] = float(np.mean(block))
+                rows.append((media_id, width, height, out.ravel().tolist()))
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "pixels"])
+
+    return media.select("media_id", "kind", "payload").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 8,
+    dim: int = 16, decoder: Decoder | None = None,
+) -> DataFrame:
+    """Frame sampling for video/audio blobs: one output row per sampled
+    timestamp (ffmpeg `-vf fps=` slot). The per-frame decode is the
+    decoder seam called with a frame-qualified payload slice; frame
+    features are pooled like extract_features. Rows explode 1→N inside
+    the Arrow batch — no shuffle until the small feature vectors."""
+    decoder = decoder or _DECODER
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload, duration in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["duration_ms"]
+            ):
+                if kind not in ("video", "audio"):
+                    continue
+                if decoder is None:
+                    raise NotImplementedError(
+                        "no media decoder registered — pass decoder= or call register_decoder()"
+                    )
+                blob = bytes(payload or b"")
+                dur = int(duration) if duration is not None else every_ms * max_frames
+                n = min(max_frames, max(1, dur // every_ms))
+                for k in range(n):
+                    t_ms = k * every_ms
+                    # frame-qualified slice: production decoders seek to
+                    # t_ms; the seam receives (blob, "kind@t") so fakes
+                    # stay deterministic per frame
+                    arr = decoder(blob + t_ms.to_bytes(8, "big"), kind)
+                    pooled = np.resize(arr.ravel(), dim).astype(np.float32)
+                    rows.append((media_id, k, t_ms, pooled.tolist()))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "t_ms", "feature"])
+
+    return media.select(
+        "media_id", "kind", "payload", "duration_ms"
+    ).mapInPandas(run, schema=FRAME_SCHEMA)
