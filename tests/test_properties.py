@@ -82,3 +82,87 @@ def test_page_generation_deterministic_and_valid(doc_id):
     assert extract_text_from_html(p1["html"]) == p1["text"]
     for (s, e, label) in g1:
         assert 0 <= s < e <= len(p1["text"])
+
+
+@given(st.lists(st.sampled_from(["Oslo", "OSLO", "oslo", "THE", "the", "a", "."]),
+                min_size=0, max_size=30))
+def test_truecase_preserves_shape_and_nonalpha(tokens):
+    from weak_supervision_for_ner_spark.functions.truecase import truecase_tokens
+
+    freqs = {"oslo": {"Oslo": 95, "OSLO": 5}, "the": {"the": 90, "THE": 10}}
+    sent_start = [i == 0 for i in range(len(tokens))]
+    out = truecase_tokens(tokens, sent_start, freqs)
+    assert len(out) == len(tokens)
+    for before, after in zip(tokens, out):
+        # only alpha, upper-initial, non-sentence-start tokens may change,
+        # and never their lowercase identity
+        if before != after:
+            assert before.isalpha() and before[0].isupper()
+            assert before.lower() == after.lower()
+    # sentence-initial token never changes
+    if tokens:
+        assert out[0] == tokens[0]
+
+
+@given(st.lists(
+    st.tuples(st.integers(0, 18), st.integers(1, 4),
+              st.sampled_from(["MONEY", "CARDINAL", "DATE", "PERSON", "ORG"])),
+    min_size=0, max_size=6,
+))
+@settings(deadline=None)
+def test_entity_correction_output_sorted_nonoverlapping(raw):
+    from weak_supervision_for_ner_spark.operators.entity_correction import (
+        correct_entity_spans,
+    )
+
+    tokens = "it cost $ 5 billion to buy Initech Ltd. in Q1 won per cent 520.0p # x y z".split()
+    # build non-overlapping input spans (the frame the reference gets)
+    ents, cursor = [], 0
+    for start, length, label in sorted(raw):
+        s = max(start, cursor)
+        e = min(s + length, len(tokens))
+        if s >= e:
+            continue
+        ents.append((s, e, label))
+        cursor = e
+    out = correct_entity_spans(tokens, ents)
+    for (s1, e1, _), (s2, e2, _) in zip(out, out[1:]):
+        assert s1 <= s2, "output must stay sorted"
+        assert e1 <= s2, f"overlap survived the merge loop: {(s1,e1)} vs {(s2,e2)}"
+    for s, e, lab in out:
+        assert 0 <= s < e
+        assert lab and isinstance(lab, str)
+
+
+@given(st.lists(st.text(alphabet="abcdef ", min_size=1, max_size=12),
+                min_size=1, max_size=40))
+@settings(deadline=None, max_examples=30)
+def test_simhash_packed_agg_equals_naive(tokens):
+    """The 20-accumulator packed-popcount fingerprint must equal the
+    naive per-bit majority computed in plain Python from the same md5
+    bit definition."""
+    import hashlib
+
+    toks = [t for t in " ".join(tokens).split() if t]
+    if not toks:
+        return
+    hashes = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks]
+    naive = 0
+    for b in range(60):
+        ones = sum((h >> b) & 1 for h in hashes)
+        if 2 * ones > len(hashes):
+            naive |= 1 << b
+    # packed-field arithmetic, mirroring simhash_table's agg exactly
+    W, FIELDS = 20, 3
+    accs = [0] * (60 // FIELDS)
+    for h in hashes:
+        for g in range(len(accs)):
+            for k in range(FIELDS):
+                accs[g] += ((h >> (g * FIELDS + k)) & 1) << (W * k)
+    packed = 0
+    for g in range(len(accs)):
+        for k in range(FIELDS):
+            ones = (accs[g] >> (W * k)) & ((1 << W) - 1)
+            if 2 * ones > len(hashes):
+                packed |= 1 << (g * FIELDS + k)
+    assert packed == naive
