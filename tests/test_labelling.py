@@ -126,3 +126,21 @@ def test_merge_contiguous_spans_across_comma():
 def test_empty_doc():
     doc = annotate("")
     assert flatten_spans(doc) == []
+
+
+def test_sentence_boundary_quote_repair():
+    """_correct_sentence_boundaries (spacy_wrapper.py:225-239): curly
+    quotes never induce sentence starts mid-quote."""
+    from weak_supervision_for_ner_spark.operators.labelling import Doc
+
+    doc = Doc("He said . “ Prices rose ” yesterday")
+    idx = {t: i for i, t in enumerate(doc.tokens)}
+    # token after the opening quote is NOT a sentence start even though
+    # it follows punctuation-adjacent context
+    assert not doc.sent_start[idx["Prices"]]
+    # the closing quote itself is not a sentence start, and without a
+    # preceding period neither is the following token
+    assert not doc.sent_start[idx["”"]]
+    assert not doc.sent_start[idx["yesterday"]]
+    # document start is always a boundary
+    assert doc.sent_start[0]

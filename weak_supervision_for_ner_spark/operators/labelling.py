@@ -62,6 +62,19 @@ class Doc:
             or (toks[i - 1].endswith(".") and len(toks[i - 1]) > 1)
             for i in range(n)
         ]
+        # quote-edge boundary repair (_correct_sentence_boundaries,
+        # spacy_wrapper.py:225-239): an opening curly quote never starts
+        # a sentence mid-quote, and a closing quote neither starts one
+        # itself nor (without a preceding period) lets the next token
+        for i in range(n - 1):
+            if toks[i] in {"‘", "“"}:
+                self.sent_start[i + 1] = False
+            elif toks[i] in {"”", "’"}:
+                self.sent_start[i] = False
+                if i > 0 and toks[i - 1] != ".":
+                    self.sent_start[i + 1] = False
+        if n:
+            self.sent_start[0] = True
         if form_freqs is not None:
             # Case repair for short/ALL-CAPS docs (spacy_wrapper.py:186-221).
             # Only alphabetic tokens are rewritten, so sentence-boundary
