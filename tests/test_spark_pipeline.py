@@ -201,3 +201,23 @@ def test_cli_job_writes_graph_and_json_mentions(spark, tmp_path, monkeypatch):
     json_rows = spark.read.json(str(mjson))
     assert json_rows.count() > 0
     assert {"url", "source", "start", "end", "label", "conf"} <= set(json_rows.columns)
+
+
+def test_canonicalize_driver_and_distributed_paths_agree(spark, pages_df):
+    """The driver-side union-find strategy (small unlinked sets) and
+    the distributed LSH+CC path must assign identical canonical ids."""
+    from weak_supervision_for_ner_spark.operators.triples import (
+        canonicalize_triples,
+        extract_triples_direct,
+        link_entities,
+        materialize_graph,
+    )
+
+    linked = link_entities(spark, extract_triples_direct(pages_df)).persist()
+    local = materialize_graph(canonicalize_triples(spark, linked))
+    dist = materialize_graph(canonicalize_triples(spark, linked, driver_threshold=0))
+    cols = sorted(local.columns)
+    a = sorted(map(tuple, local.select(*cols).collect()))
+    b = sorted(map(tuple, dist.select(*cols).collect()))
+    assert a == b and a
+    linked.unpersist()

@@ -461,12 +461,75 @@ def connected_components(
     return labels
 
 
+def _local_components(
+    sig_rows: list, n_hashes: int, bands: int, max_bucket: int,
+    stats: dict | None,
+) -> dict[str, str]:
+    """Driver-side banding + union-find over a COLLECTED signature
+    table: identical connectivity to lsh_candidate_pairs +
+    connected_components (same bands, same bucket-size cap, smallest-id
+    representative), but exact to full convergence and zero extra Spark
+    jobs. Used when the unlinked-entity set is small enough to collect."""
+    rows_per_band = n_hashes // bands
+    buckets: dict[tuple, list[str]] = {}
+    for row in sig_rows:
+        for b in range(bands):
+            key = (b,) + tuple(
+                row[f"h{i}"] for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            )
+            buckets.setdefault(key, []).append(row["name"])
+
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a: str, b: str) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    dropped_buckets = dropped_members = 0
+    for members in buckets.values():
+        if len(members) > max_bucket:
+            dropped_buckets += 1
+            dropped_members += len(members)
+            continue
+        for m in members[1:]:
+            union(members[0], m)
+    if stats is not None:
+        stats["dropped_buckets"] = dropped_buckets
+        stats["dropped_members"] = dropped_members
+        stats["unconverged_labels"] = 0  # union-find is exact
+    # name -> smallest-id representative; identity mappings included
+    # (the rewrite coalesces them to the same id either way)
+    return {name: find(name) for name in {r["name"] for r in sig_rows}}
+
+
 def canonicalize_triples(
     spark: SparkSession, linked: DataFrame, n_hashes: int = 16, bands: int = 4,
-    stats: dict | None = None,
+    stats: dict | None = None, driver_threshold: int = 100_000,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """Map every unlinked surface form to a canonical representative
     via minhash-LSH + connected components, then finalize ids.
+
+    Two physical strategies behind one semantics:
+    - unlinked entity set <= ``driver_threshold`` distinct names (the
+      common case — unique UNLINKED surface forms grow far slower than
+      the corpus): minhash signatures are still computed distributed,
+      but the tiny signature table is collected and banded/union-found
+      on the driver, and the resulting component map joins back as an
+      Arrow LocalRelation broadcast — replacing ~6 small shuffle jobs
+      whose per-stage orchestration dominated wall-clock. Exact to full
+      convergence.
+    - above the threshold: the fully distributed path
+      (lsh_candidate_pairs -> connected_components), one shuffle on the
+      band key, label propagation with a bounded round budget.
 
     With ``stats`` provided, LSH mega-bucket drops and CC
     non-convergence counts are recorded there (and surfaced through the
@@ -485,8 +548,30 @@ def canonicalize_triples(
         .distinct()
     )
     sigs = minhash_signatures(unlinked, "name", n_hashes)
-    pairs = lsh_candidate_pairs(sigs, "name", n_hashes, bands, stats=stats)
-    components = connected_components(pairs, stats=stats)
+    # ONE job decides the physical strategy: collect at most
+    # threshold+1 signature rows; overflow switches to the distributed
+    # path (which recomputes sigs — only ever paid in the huge case)
+    sig_rows = sigs.limit(driver_threshold + 1).collect()
+    if len(sig_rows) <= driver_threshold:
+        mapping = _local_components(sig_rows, n_hashes, bands, max_bucket, stats)
+        components = spark.createDataFrame(
+            pd.DataFrame(
+                sorted(mapping.items()) or [("", "")],
+                columns=["name", "canonical"],
+            )
+        )
+        if not mapping:
+            components = components.filter(F.col("name") != "")
+        components = F.broadcast(components)
+    else:
+        pairs = lsh_candidate_pairs(
+            sigs, "name", n_hashes, bands, max_bucket=max_bucket, stats=stats
+        )
+        # The component table joins into BOTH the subj and obj rewrites;
+        # eager localCheckpoint materializes the whole LSH+CC subtree
+        # once and truncates its (deep, unrolled-round) lineage —
+        # without it the entire canonicalization executed twice.
+        components = connected_components(pairs, stats=stats).localCheckpoint()
 
     out = linked
     for side in ("subj", "obj"):
