@@ -31,7 +31,16 @@ _TABLES = [
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "documents":
+        # the test tables ship as ONE small parquet file (one row group
+        # = one unsplittable scan task), which would serialize the
+        # CPU-heavy map work (tokenize/md5/shingle) of every dedup/
+        # textstats query onto a single core; a cheap repartition of
+        # the sub-MB table spreads it. Real corpora arrive in many
+        # splits, so production readers skip this.
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def _n_docs(sf_dir: str) -> int:

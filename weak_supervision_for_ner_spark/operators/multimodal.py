@@ -104,7 +104,7 @@ def media_stats(media: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.length("payload")).alias("total_bytes"),
-            F.max(F.length("payload")).alias("max_bytes"),
+            F.max(F.length("payload")).cast("long").alias("max_bytes"),
         )
     )
 

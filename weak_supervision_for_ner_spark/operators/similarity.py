@@ -48,7 +48,7 @@ def brute_force_topk(
         scored
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine", "rank")
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine", F.col("rank").cast("long").alias("rank"))
     )
 
 
@@ -93,7 +93,7 @@ def lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine", "rank")
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine", F.col("rank").cast("long").alias("rank"))
     )
 
 

@@ -56,8 +56,8 @@ def quality_scores(documents: DataFrame, text_col: str = "text") -> DataFrame:
 
     df = documents.select(
         "doc_id",
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
         F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 4).alias("mean_token_len"),
         F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
         F.round(n_digit / F.greatest(n_chars, F.lit(1)), 4).alias("digit_ratio"),
@@ -80,7 +80,7 @@ def token_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
     ws = F.when(F.length(F.trim(F.col(text_col))) == 0, 0).otherwise(F.size(toks))
     return documents.select(
         "doc_id",
-        ws.alias("ws_tokens"),
+        ws.cast("long").alias("ws_tokens"),
         F.ceil(F.length(text_col) / F.lit(4.0)).cast("long").alias("bpe_estimate"),
     )
 
