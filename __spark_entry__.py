@@ -308,6 +308,23 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_recall(emb, queries, k=5, n_planes=6, dim=64)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN (learned coarse quantizer): deterministic spherical
+    k-means centroids from a fixed sample slice, cell-probed exact
+    re-rank, reported as recall@k vs brute force — fully
+    oracle-checkable because the oracle generator derives the SAME
+    centroids from the sf0.01 tables with the same numpy code."""
+    from weak_supervision_for_ner_spark.operators.similarity import ivf_recall
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_recall(emb, queries, k=5, n_cells=8, nprobe=2, sample_limit=256)
+
+
 def q_lang_id(spark, sf_dir):
     from weak_supervision_for_ner_spark.operators.textstats import language_id
 
@@ -653,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash,
         "embedding_dups": q_embedding_dups,
+        "ann_ivf": q_ann_ivf,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "lang_id": q_lang_id,
@@ -869,6 +887,70 @@ def oracle_sql() -> dict[str, str]:
                COUNT(a.lsh_neighbor) / 5 AS recall
         FROM exact x LEFT JOIN approx a
           ON x.query_id = a.query_id AND x.neighbor_id = a.lsh_neighbor
+        GROUP BY x.query_id
+    """
+
+    # IVF oracle: centroids derived from the SAME fixed sample slice of
+    # the sf0.01 tables with the SAME numpy k-means the Spark side runs
+    # (the driver's correctness gate is pinned at sf=0.01).
+    import duckdb as _duckdb
+    import numpy as _np
+
+    from weak_supervision_for_ner_spark.operators.similarity import (
+        kmeans_centroids_from_matrix,
+    )
+
+    _emb_rows = _duckdb.sql(
+        "SELECT embedding::DOUBLE[] AS e FROM "
+        "'/root/testdata/sf0.01/embeddings.parquet' WHERE vec_id < 256 ORDER BY vec_id"
+    ).fetchall()
+    _centroids = kmeans_centroids_from_matrix(
+        _np.array([r[0] for r in _emb_rows]), k=8, n_iter=5
+    )
+    _score_list = "[" + ", ".join(
+        "list_dot_product(embedding::DOUBLE[], ["
+        + ",".join(repr(float(x)) for x in c) + "]::DOUBLE[])"
+        for c in _centroids
+    ) + "]"
+    sql["ann_ivf"] = f"""
+        WITH scored AS (
+            SELECT vec_id, embedding, {_score_list} AS scores FROM embeddings),
+        corpus AS (
+            SELECT vec_id, embedding,
+                   CAST(list_position(scores, list_max(scores)) AS INTEGER) AS cell
+            FROM scored),
+        q AS (SELECT vec_id AS query_id, embedding AS qvec, scores
+              FROM scored WHERE vec_id < 10),
+        qcells AS (
+            SELECT query_id, cell FROM (
+                SELECT query_id, pos AS cell,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, pos ASC) AS rk
+                FROM (SELECT query_id, unnest(scores) AS score,
+                             generate_subscripts(scores, 1) AS pos FROM q))
+            WHERE rk <= 2),
+        approx AS (
+            SELECT query_id, neighbor_id AS ivf_neighbor FROM (
+                SELECT qc.query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY qc.query_id ORDER BY
+                           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]), 6) DESC,
+                           e.vec_id ASC) AS rank
+                FROM corpus e JOIN qcells qc ON e.cell = qc.cell
+                JOIN q ON q.query_id = qc.query_id
+                WHERE e.vec_id != qc.query_id)
+            WHERE rank <= 5),
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]), 6) DESC,
+                           e.vec_id ASC) AS rank
+                FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id)
+            WHERE rank <= 5)
+        SELECT x.query_id, COUNT(a.ivf_neighbor) AS n_hits,
+               COUNT(a.ivf_neighbor) / 5 AS recall
+        FROM exact x LEFT JOIN approx a
+          ON x.query_id = a.query_id AND x.neighbor_id = a.ivf_neighbor
         GROUP BY x.query_id
     """
 

@@ -285,3 +285,25 @@ def test_multimodal_sample_frames(spark):
     # frames are deterministic AND distinct per timestamp
     f0, f1 = (sorted(by_media["v1"], key=lambda r: r["frame_idx"])[i]["feature"] for i in (0, 1))
     assert f0 != f1 and len(f0) == 4
+
+
+def test_ivf_topk_recall_on_clustered_data(spark):
+    """IVF with learned centroids must achieve high recall@k vs brute
+    force on cluster-structured embeddings (nprobe=2 of 8 cells)."""
+    from weak_supervision_for_ner_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_recall,
+        ivf_topk,
+    )
+
+    emb = _clustered_embeddings(spark, n_clusters=8, per_cluster=8, dim=16).persist()
+    q = emb.filter("vec_id < 6").selectExpr("vec_id as query_id", "embedding")
+    rec = {r["query_id"]: r["recall"]
+           for r in ivf_recall(emb, q, k=5, n_cells=8, nprobe=2,
+                               sample_limit=64).collect()}
+    assert len(rec) == 6
+    assert sum(rec.values()) / len(rec) >= 0.9
+    # and the index returns a proper ranked list
+    got = ivf_topk(emb, q, k=5, n_cells=8, nprobe=2, sample_limit=64).collect()
+    assert all(1 <= r["rank"] <= 5 for r in got)
+    emb.unpersist()

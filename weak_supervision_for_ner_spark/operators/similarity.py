@@ -127,3 +127,127 @@ def lsh_recall(
     return hits.select(
         "query_id", "n_hits", (F.col("n_hits") / F.lit(k)).alias("recall")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: learned coarse quantizer + cell-probed re-rank
+# ---------------------------------------------------------------------------
+
+def kmeans_centroids_from_matrix(X: "np.ndarray", k: int = 8, n_iter: int = 5) -> list[list[float]]:
+    """Deterministic spherical k-means (Lloyd) in plain numpy — shared
+    by the Spark index builder AND the DuckDB oracle generator so both
+    derive bit-identical centroid literals. Init = first k rows;
+    centroids are L2-normalized and rounded to 6 dp for stable
+    cross-engine literals; empty cells keep their previous centroid."""
+    X = np.asarray(X, dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = X[:k].copy()
+    for _ in range(n_iter):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                C[c] = m / max(np.linalg.norm(m), 1e-12)
+    return np.round(C, 6).tolist()
+
+
+def ivf_centroids(
+    embeddings: DataFrame, k: int = 8, n_iter: int = 5, sample_limit: int = 256,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train the coarse quantizer on a deterministic sample slice
+    (id < sample_limit, ordered) — bounded driver work at any corpus
+    size; the centroid table is tiny and broadcast via literals."""
+    rows = (
+        embeddings.filter(F.col(id_col) < sample_limit)
+        .orderBy(id_col).select(vec_col).collect()
+    )
+    X = [list(map(float, r[vec_col])) for r in rows]
+    return kmeans_centroids_from_matrix(np.array(X), k, n_iter)
+
+
+def _cell_scores(vec_col: str, centroids: list[list[float]]):
+    """Array of <v, centroid_c> dot products (centroids unit-norm, so
+    argmax dot == argmax cosine)."""
+    return F.array(*[
+        F.aggregate(
+            F.zip_with(vec_col, F.array(*[F.lit(float(x)) for x in c]),
+                       lambda x, p: x * p),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        for c in centroids
+    ])
+
+
+def ivf_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5,
+    n_cells: int = 8, nprobe: int = 2, sample_limit: int = 256,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN: assign every corpus vector to its nearest centroid cell
+    (one narrow codegen pass), probe each query's ``nprobe`` best cells,
+    exact cosine re-rank inside the probed cells. The candidate set
+    shrinks ~n_cells/nprobe-fold; the cell join shuffles on the small
+    cell key only."""
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, n_cells, sample_limit=sample_limit,
+                                  id_col=id_col, vec_col=vec_col)
+    scores = _cell_scores(vec_col, centroids)
+    corpus = embeddings.withColumn(
+        "cell", F.array_position(scores, F.array_max(scores)).cast("int")
+    )
+    qs = queries.select(
+        "query_id", F.col(vec_col).alias("qvec")
+    ).withColumn("scores", _cell_scores("qvec", centroids))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cell"))
+    qcells = (
+        qs.select("query_id", F.posexplode("scores").alias("pos", "score"))
+        .withColumn("cell", (F.col("pos") + 1).cast("int"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= nprobe)
+        .select("query_id", "cell")
+    )
+    cand = (
+        corpus.join(F.broadcast(qcells), "cell")
+        .join(F.broadcast(qs.select("query_id", "qvec")), "query_id")
+        .withColumn("cosine", F.round(_cosine(vec_col, "qvec"), 6))
+        .filter(F.col("query_id") != F.col(id_col))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def ivf_recall(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5,
+    n_cells: int = 8, nprobe: int = 2, sample_limit: int = 256,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the IVF index vs the exact brute-force top-k — the
+    same checkable-metric shape as lsh_recall."""
+    exact = brute_force_topk(embeddings, queries, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_topk(
+        embeddings, queries, k, n_cells, nprobe, sample_limit, id_col, vec_col
+    ).select("query_id", F.col("neighbor_id").alias("ivf_neighbor"))
+    hits = (
+        exact.join(
+            approx,
+            (exact["query_id"] == approx["query_id"])
+            & (exact["neighbor_id"] == approx["ivf_neighbor"]),
+            "left",
+        )
+        .select(exact["query_id"], approx["ivf_neighbor"])
+        .groupBy("query_id")
+        .agg(F.count("ivf_neighbor").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id", "n_hits", (F.col("n_hits") / F.lit(k)).alias("recall")
+    )
