@@ -19,6 +19,7 @@ import time
 
 
 def main() -> None:
+    load_at_start = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -74,6 +75,10 @@ def main() -> None:
         "n_docs": n_docs,
         "kg_docs_per_sec": docs_per_sec,
         "cores": cores,
+        # 1-minute load when the bench STARTED: non-zero means the
+        # sandbox had background load and timings are inflated (the
+        # box's documented noise can double them; see BENCH_SCALING.md).
+        "load_1m_at_start": load_at_start,
     }))
 
 
