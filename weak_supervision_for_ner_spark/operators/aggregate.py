@@ -233,16 +233,26 @@ def decode_biluo(states: np.ndarray, confidences: np.ndarray) -> dict[Span, tupl
 # ---------------------------------------------------------------------------
 
 def majority_voter_mentions(
-    annotated: DataFrame, nb_sources_threshold: int = 4, source_name: str = "majority_voter"
+    annotated: DataFrame, nb_sources_threshold: int = 4,
+    source_name: str = "majority_voter",
+    sources_to_keep: list[str] | None = None,
 ) -> DataFrame:
     """Stateless narrow mapInPandas: annotated rows -> aggregated
-    mention rows (the relational form of MajorityVoter.annotate)."""
+    mention rows (the relational form of MajorityVoter.annotate).
+
+    ``sources_to_keep`` restricts the vote to a source subset AFTER
+    specialisation, matching the reference's UnifiedAnnotator order
+    (specialise over all layers, then extract only kept sources,
+    labelling.py:144-175)."""
+    keep = None if sources_to_keep is None else set(sources_to_keep)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for url, tokens, spans in zip(pdf["url"], pdf["tokens"], pdf["spans"]):
                 layers = specialise_layers(layers_from_spans(list(spans)))
+                if keep is not None:
+                    layers = {s: l for s, l in layers.items() if s in keep}
                 states, confs = majority_vote_sparse(
                     layers, len(tokens), nb_sources_threshold
                 )

@@ -102,12 +102,27 @@ class HMMAggregator:
     """77-state HMM over multi-source BILUO observations."""
 
     def __init__(self, source_name: str = "HMM", n_iter: int = 10,
-                 tol: float = 1e-2, seed: int = 42, informative_priors: bool = True):
+                 tol: float = 1e-2, seed: int = 42, informative_priors: bool = True,
+                 sources_to_keep: list[str] | None = None):
         self.source_name = source_name
         self.n_iter = n_iter
         self.tol = tol
         self.seed = seed
         self.informative_priors = informative_priors
+        # sources_to_keep (UnifiedAnnotator, labelling.py:93-100): train
+        # and decode on a source subset. Excluded sources are pinned to
+        # deterministic O-emitters and their observation columns masked
+        # to the default O, so they contribute a constant 0 to every
+        # frame log-likelihood — exactly as if absent from the model.
+        self._excluded: np.ndarray | None = None
+        if sources_to_keep is not None:
+            keep = set(sources_to_keep)
+            unknown = keep - set(SOURCE_NAMES)
+            if unknown:
+                raise ValueError(f"unknown sources: {sorted(unknown)}")
+            self._excluded = np.array(
+                [i for i, s in enumerate(SOURCE_NAMES) if s not in keep], dtype=int
+            )
         self.startprob_prior = None
         self.startprob_ = None
         self.transmat_prior = None
@@ -118,10 +133,31 @@ class HMMAggregator:
 
     # -- priors --------------------------------------------------------
 
-    @staticmethod
-    def _best_coverage_source_index() -> int:
-        source = sorted(SOURCE_NAMES, key=lambda s: len(SOURCE_PRIORS[s]))[-1]
+    def _best_coverage_source_index(self) -> int:
+        excluded = set() if self._excluded is None else set(self._excluded.tolist())
+        candidates = [s for i, s in enumerate(SOURCE_NAMES) if i not in excluded]
+        source = sorted(candidates, key=lambda s: len(SOURCE_PRIORS[s]))[-1]
         return SOURCE_NAMES.index(source)
+
+    def _apply_source_mask(self, X: np.ndarray) -> np.ndarray:
+        """Reset excluded sources' observation columns to the default O."""
+        if self._excluded is None or not len(self._excluded):
+            return X
+        X = X.copy()
+        X[:, self._excluded, :] = 0.0
+        X[:, self._excluded, 0] = 1.0
+        return X
+
+    def _pin_excluded_emissions(self) -> None:
+        """Excluded sources emit O with probability 1 in every state (a
+        constant likelihood factor of 0 in log space); priors are pinned
+        too, so the M-step keeps them there."""
+        if self._excluded is None or not len(self._excluded):
+            return
+        onehot = np.zeros((N_STATES, N_STATES))
+        onehot[:, 0] = 1.0
+        self.emission_probs[self._excluded] = onehot
+        self.emission_priors[self._excluded] = onehot
 
     def initialise(self, init_counts, trans_counts, obs_counts) -> None:
         """Build priors from corpus count aggregations
@@ -151,6 +187,7 @@ class HMMAggregator:
         )
 
         self._initialise_emissions(obs_counts)
+        self._pin_excluded_emissions()
 
     def _initialise_emissions(self, obs_counts: np.ndarray, strength: float = 1000.0):
         """Emission priors from SOURCE_PRIORS P/R with boundary-error x5
@@ -237,6 +274,7 @@ class HMMAggregator:
         (K,T)x(T,K) matmul — 10-20x faster than per-step log-space
         logsumexp loops. Falls back to the log-space path on numeric
         degeneracy (a step whose scale underflows)."""
+        X = self._apply_source_mask(X)
         frame = self.framelogprob(X)
         out = self._scaled_forward_backward(frame)
         if out is None:
@@ -323,6 +361,7 @@ class HMMAggregator:
     def label(self, X: np.ndarray):
         """Viterbi decode one doc -> (state path, per-token confidence)
         (labelling.py:291-311)."""
+        X = self._apply_source_mask(X)
         frame = self.framelogprob(X)
         with np.errstate(divide="ignore"):
             _, path = viterbi_pass(np.log(self.startprob_), np.log(self.transmat_), frame)
@@ -399,7 +438,9 @@ class HMMAggregator:
                 start_iter = latest[0] + 1
 
         if self.startprob_ is None:
-            counts = _collect_prior_counts(annotated, self._best_coverage_source_index())
+            counts = _collect_prior_counts(
+                annotated, self._best_coverage_source_index(), self._excluded
+            )
             self.initialise(*counts)
             if checkpoint_dir:
                 self.save(os.path.join(checkpoint_dir, "iter_init"), -1, None)
@@ -412,11 +453,13 @@ class HMMAggregator:
                  self.emission_priors, self.startprob_prior, self.transmat_prior)
             )
             agg = self
+            excluded = self._excluded
 
             def e_step_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 sp, tm, ep, epr, spp, tmp = params_bc.value
                 model = HMMAggregator.__new__(HMMAggregator)
                 model.startprob_, model.transmat_, model.emission_probs = sp, tm, ep
+                model._excluded = excluded
                 logprob = 0.0
                 n_docs = 0
                 n_tokens = 0
@@ -479,11 +522,13 @@ class HMMAggregator:
             (self.startprob_, self.transmat_, self.emission_probs)
         )
         source_name = self.source_name
+        excluded = self._excluded
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             sp, tm, ep = params_bc.value
             model = HMMAggregator.__new__(HMMAggregator)
             model.startprob_, model.transmat_, model.emission_probs = sp, tm, ep
+            model._excluded = excluded
             for pdf in batches:
                 rows = []
                 for url, tokens, spans in zip(pdf["url"], pdf["tokens"], pdf["spans"]):
@@ -535,7 +580,9 @@ def _tree_combine_stats(stats: DataFrame, schema, fanin: int) -> DataFrame:
 # three tee'd streams, labelling.py:248-252)
 # ---------------------------------------------------------------------------
 
-def _collect_prior_counts(annotated: DataFrame, best_source_index: int):
+def _collect_prior_counts(
+    annotated: DataFrame, best_source_index: int, excluded: np.ndarray | None = None
+):
     def count_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         init = np.zeros(N_STATES)
         trans = np.zeros((N_STATES, N_STATES))
@@ -545,6 +592,9 @@ def _collect_prior_counts(annotated: DataFrame, best_source_index: int):
                 if len(tokens) == 0:
                     continue
                 X = sequence_from_spans(list(spans), len(tokens))
+                if excluded is not None and len(excluded):
+                    X[:, excluded, :] = 0.0
+                    X[:, excluded, 0] = 1.0
                 best = X[:, best_source_index, :].argmax(axis=1)
                 init[best[0]] += 1
                 np.add.at(trans, (best[:-1], best[1:]), 1.0)

@@ -45,7 +45,8 @@ _LABEL_TO_VOTE = {label: i + 1 for i, label in enumerate(LABELS)}
 
 
 def span_votes(
-    spans: list, candidate_sources: tuple[str, ...] = CANDIDATE_SOURCES
+    spans: list, candidate_sources: tuple[str, ...] = CANDIDATE_SOURCES,
+    sources_to_keep: frozenset[str] | None = None,
 ) -> tuple[list[tuple[int, int]], np.ndarray]:
     """Per-doc candidate spans + vote matrix (reference _get_inputs,
     labelling.py:560-576): candidates are the union of the trusted
@@ -69,6 +70,8 @@ def span_votes(
     index = {span: i for i, span in enumerate(ordered)}
     obs = np.zeros((len(ordered), len(SOURCE_NAMES)), dtype=np.int16)
     for si, source in enumerate(SOURCE_NAMES):
+        if sources_to_keep is not None and source not in sources_to_keep:
+            continue
         layer = layers.get(source)
         if not layer:
             continue
@@ -88,7 +91,9 @@ class LabelModelAggregator:
 
     def __init__(self, source_name: str = "snorkel", n_iter: int = 10,
                  smoothing: float = 0.1,
-                 candidate_sources: tuple[str, ...] = CANDIDATE_SOURCES):
+                 candidate_sources: tuple[str, ...] = CANDIDATE_SOURCES,
+                 sources_to_keep: list[str] | None = None):
+        self.sources_to_keep = None if sources_to_keep is None else frozenset(sources_to_keep)
         self.source_name = source_name
         self.n_iter = n_iter
         self.smoothing = smoothing
@@ -148,7 +153,10 @@ class LabelModelAggregator:
     # -- single-node oracle fit -------------------------------------------
 
     def fit(self, docs_spans: list[list]) -> "LabelModelAggregator":
-        blocks = [span_votes(s, self.candidate_sources)[1] for s in docs_spans]
+        blocks = [
+            span_votes(s, self.candidate_sources, self.sources_to_keep)[1]
+            for s in docs_spans
+        ]
         obs = np.vstack([b for b in blocks if len(b)]) if blocks else np.zeros((0, len(SOURCE_NAMES)), np.int16)
         self.log_prior, self.log_conf = self._init_params()
         for _ in range(self.n_iter):
@@ -168,7 +176,7 @@ class LabelModelAggregator:
         annotated = annotated.select("spans")
         self.log_prior, self.log_conf = self._init_params()
         sc = spark.sparkContext
-        cand = self.candidate_sources
+        cand, keep = self.candidate_sources, self.sources_to_keep
         schema = T.StructType([
             T.StructField("loglik", T.DoubleType()),
             T.StructField("prior_c", T.BinaryType()),
@@ -203,7 +211,7 @@ class LabelModelAggregator:
                 loglik = 0.0
                 for pdf in batches:
                     for spans in pdf["spans"]:
-                        _, obs = span_votes(list(spans), cand)
+                        _, obs = span_votes(list(spans), cand, keep)
                         if len(obs):
                             loglik += model._accumulate(obs, prior_c, vote_c)
                 yield pd.DataFrame({
@@ -236,7 +244,9 @@ class LabelModelAggregator:
     # -- decode ------------------------------------------------------------
 
     def decode_doc(self, url: str, tokens: list, spans: list) -> list[tuple]:
-        ordered, obs = span_votes(list(spans), self.candidate_sources)
+        ordered, obs = span_votes(
+            list(spans), self.candidate_sources, self.sources_to_keep
+        )
         rows = []
         if not ordered:
             return rows
@@ -252,12 +262,14 @@ class LabelModelAggregator:
     def decode_spark(self, spark: SparkSession, annotated: DataFrame) -> DataFrame:
         params_bc = spark.sparkContext.broadcast((self.log_prior, self.log_conf))
         source_name, cand = self.source_name, self.candidate_sources
+        keep = self.sources_to_keep
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             lp, lc = params_bc.value
             model = LabelModelAggregator.__new__(LabelModelAggregator)
             model.log_prior, model.log_conf = lp, lc
             model.source_name, model.candidate_sources = source_name, cand
+            model.sources_to_keep = keep
             for pdf in batches:
                 rows = []
                 for url, tokens, spans in zip(pdf["url"], pdf["tokens"], pdf["spans"]):
