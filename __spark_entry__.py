@@ -261,6 +261,26 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n_hashes=4, bands=2, n=3)
 
 
+def q_dedup_drop_exact(spark, sf_dir):
+    """Corpus-filtering exact dedup: the survivor set (smallest doc_id
+    per byte-identical group)."""
+    from weak_supervision_for_ner_spark.operators.dedup import drop_exact_duplicates
+
+    return drop_exact_duplicates(_t(spark, sf_dir, "documents")).select("doc_id")
+
+
+def q_dedup_drop_near(spark, sf_dir):
+    """Corpus-filtering near dedup: minhash-LSH pairs -> connected
+    components -> survivors. The oracle recomputes the components with
+    a recursive CTE (exact transitive closure), so the green hash
+    certifies the distributed label propagation fully converged."""
+    from weak_supervision_for_ner_spark.operators.dedup import drop_near_duplicates
+
+    return drop_near_duplicates(
+        _t(spark, sf_dir, "documents"), n_hashes=4, bands=2, n=3
+    ).select("doc_id")
+
+
 def q_simhash(spark, sf_dir):
     from weak_supervision_for_ner_spark.operators.dedup import simhash_near_pairs
 
@@ -665,6 +685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gazetteer_etl": q_gazetteer_etl,
         "name_variants": q_name_variants,
         "dedup_exact": q_dedup_exact,
+        "dedup_drop_exact": q_dedup_drop_exact,
+        "dedup_drop_near": q_dedup_drop_near,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -829,6 +851,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
         FROM banded l JOIN banded r
           ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    """
+
+    sql["dedup_drop_exact"] = """
+        SELECT doc_id FROM (
+            SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+            FROM documents)
+        WHERE doc_id = keep
+    """
+
+    sql["dedup_drop_near"] = _shingles + """
+        , sigs AS (
+            SELECT doc_id,
+                   MIN(md5('0|' || shingle)) AS h0, MIN(md5('1|' || shingle)) AS h1,
+                   MIN(md5('2|' || shingle)) AS h2, MIN(md5('3|' || shingle)) AS h3
+            FROM sh GROUP BY doc_id),
+        banded AS (
+            SELECT doc_id, 0 AS band, h0 || '#' || h1 AS key FROM sigs
+            UNION ALL
+            SELECT doc_id, 1 AS band, h2 || '#' || h3 AS key FROM sigs),
+        pairs AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+        edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+        -- exact transitive closure (corpora pair sets are tiny at the
+        -- oracle scale); canonical = smallest reachable id
+        reach AS (
+            WITH RECURSIVE r(x, y) AS (
+                SELECT x, y FROM edges
+                UNION
+                SELECT r.x, e.y FROM r JOIN edges e ON r.y = e.x
+            ) SELECT x, y FROM r),
+        losers AS (
+            SELECT DISTINCT x AS doc_id FROM reach GROUP BY x
+            HAVING MIN(y) < x)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
     """
 
     sql["embedding_dups"] = """

@@ -307,3 +307,19 @@ def test_ivf_topk_recall_on_clustered_data(spark):
     got = ivf_topk(emb, q, k=5, n_cells=8, nprobe=2, sample_limit=64).collect()
     assert all(1 <= r["rank"] <= 5 for r in got)
     emb.unpersist()
+
+
+def test_drop_exact_duplicates(spark, docs):
+    from weak_supervision_for_ner_spark.operators.dedup import drop_exact_duplicates
+
+    kept = {r["doc_id"] for r in drop_exact_duplicates(docs).collect()}
+    assert kept == {1, 3, 4, 5}          # doc 2 is the byte-identical dup of 1
+
+
+def test_drop_near_duplicates(spark, docs):
+    from weak_supervision_for_ner_spark.operators.dedup import drop_near_duplicates
+
+    kept = {r["doc_id"] for r in
+            drop_near_duplicates(docs, n_hashes=4, bands=2, n=3).collect()}
+    assert 1 in kept and 2 not in kept   # exact dup collapses to smallest id
+    assert 4 in kept and 5 in kept       # singletons survive

@@ -337,3 +337,40 @@ def embedding_near_duplicates(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def drop_exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """The corpus-filtering form of exact dedup: keep the smallest
+    doc_id of every byte-identical group. One shuffle on the text hash
+    (window min over md5 groups), then a filter — no join back."""
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    return (
+        documents
+        .withColumn("_keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .drop("_keep")
+    )
+
+
+def drop_near_duplicates(
+    documents: DataFrame, n_hashes: int = 8, bands: int = 4, n: int = 3,
+    max_rounds: int = 5, text_col: str = "text",
+) -> DataFrame:
+    """Near-dup corpus filtering: minhash-LSH candidate pairs →
+    connected components (smallest doc_id wins) → keep only component
+    representatives. This is the operator a training-data pipeline
+    actually runs at 100 TB: pairs shuffle once on the band key, the
+    component table is tiny relative to the corpus, and survivors come
+    from one broadcast-able anti-join."""
+    from weak_supervision_for_ner_spark.operators.triples import connected_components
+
+    pairs = minhash_lsh_pairs(documents, n_hashes, bands, n)
+    # convergence-checked: dropping a survivor because label propagation
+    # stopped early would silently lose training data
+    components = connected_components(
+        pairs, max_rounds=max_rounds, convergence_check=True
+    )
+    losers = components.filter(F.col("name") != F.col("canonical")).select(
+        F.col("name").alias("doc_id")
+    )
+    return documents.join(losers, "doc_id", "left_anti")
