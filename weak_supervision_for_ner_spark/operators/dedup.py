@@ -114,13 +114,22 @@ def minhash_lsh_pairs(
     (band, key), intra-bucket pairs. Optional exact-Jaccard verify."""
     sigs = minhash_signature_table(documents, n_hashes, n)
     rows_per_band = n_hashes // bands
-    banded = None
-    for b in range(bands):
-        cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        part = sigs.select(
-            "doc_id", F.lit(b).alias("band"), F.concat_ws("#", *cols).alias("key")
+    # single-pass banding: per-band keys become an array column that is
+    # exploded — a bands-way union would re-read (or at best
+    # ReuseExchange) the shingling+minhash subtree per band
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "#",
+                *[F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)],
+            ).alias("key"),
         )
-        banded = part if banded is None else banded.unionByName(part)
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     pairs = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "key"])
@@ -219,16 +228,24 @@ def simhash_near_pairs(
             " max_hamming or an exact verify stage"
         )
     sh = simhash_table(documents)
-    chunks = None
+    # single-pass chunking (explode, not an n_chunks-way union that
+    # would re-derive the fingerprint aggregation per chunk); the last
+    # chunk absorbs the remainder bits
+    chunk_structs = []
     for c in range(n_chunks):
-        # last chunk absorbs the remainder bits
         hi = SIMHASH_BITS if c == n_chunks - 1 else (c + 1) * width
         mask = (1 << (hi - c * width)) - 1
-        part = sh.select(
-            "doc_id", "simhash", F.lit(c).alias("chunk"),
-            F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit(mask)).alias("key"),
+        chunk_structs.append(
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
         )
-        chunks = part if chunks is None else chunks.unionByName(part)
+    chunks = sh.select(
+        "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("ck")
+    ).select("doc_id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
     pairs = (
         chunks.alias("l").join(chunks.alias("r"), ["chunk", "key"])
         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
