@@ -447,6 +447,10 @@ def connected_components(
                 labels = new_labels
                 break
         labels = new_labels
+    if convergence_check:
+        # every round's labels are localCheckpointed, so the final
+        # result no longer depends on the edges cache — release it
+        edges.unpersist()
     if stats is not None and not convergence_check:
         labels = labels.localCheckpoint()
         neigh = (
