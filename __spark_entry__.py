@@ -890,11 +890,40 @@ def oracle_sql() -> dict[str, str]:
         WHERE doc_id NOT IN (SELECT doc_id FROM losers)
     """
 
-    sql["embedding_dups"] = """
-        SELECT a.vec_id AS a, b.vec_id AS b,
-               ROUND(ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6), 4) AS cosine
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.8
+    # embedding_dups mirrors the Spark side's banded hyperplane LSH
+    # blocking (8 bands x 2 seeded planes) so Spark==oracle holds at ANY
+    # scale factor — an exact all-pairs oracle would flag a (correct)
+    # LSH recall miss as a hash mismatch on unseen data.
+    from weak_supervision_for_ner_spark.operators.similarity import (
+        random_hyperplanes as _rh,
+    )
+
+    _ed_planes = _rh(64, 16, 42)
+
+    def _ed_dot(plane):
+        return ("list_dot_product(embedding::DOUBLE[], ["
+                + ",".join(repr(float(x)) for x in plane) + "]::DOUBLE[])")
+
+    _ed_buckets = "\n            UNION ALL\n            ".join(
+        f"SELECT vec_id, {b} AS band,"
+        f" (CASE WHEN {_ed_dot(_ed_planes[2 * b])} > 0.0 THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN {_ed_dot(_ed_planes[2 * b + 1])} > 0.0 THEN 2 ELSE 0 END) AS key"
+        " FROM embeddings"
+        for b in range(8)
+    )
+    sql["embedding_dups"] = f"""
+        WITH buckets AS (
+            {_ed_buckets}),
+        cand AS (
+            SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+            FROM buckets l JOIN buckets r
+              ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id)
+        SELECT c.a, c.b,
+               ROUND(ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6), 4) AS cosine
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.a
+        JOIN embeddings eb ON eb.vec_id = c.b
+        WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= 0.8
     """
 
     sql["ann_topk"] = """

@@ -102,3 +102,19 @@ def test_spark_correct_mentions_matches_pure_function(spark):
     ))
     assert got == want
     assert got == [(2, 4, "MONEY")]
+
+
+def test_overlap_merge_preserves_money_across_intervening_span():
+    """Regression (code review): merging a j>=1 neighbour must delete
+    the MATCHED span, not an unrelated in-between one — MONEY from the
+    middle span has to survive into the merged result. (The reference's
+    own loop, spacy_wrapper.py:381, deletes the wrong index; this is a
+    documented deviation.)"""
+    toks = "a b c d e f".split()
+    out = correct_entity_spans(
+        toks, [(0, 2, "ORG"), (2, 4, "MONEY"), (2, 6, "ORG")]
+    )
+    # the merged end follows the reference's (ent_start, ent2_end) rule
+    # (a contained second span truncates); the essential property is
+    # that the MONEY label survives the merge instead of being deleted
+    assert out == [(0, 4, "MONEY")]

@@ -75,3 +75,13 @@ def test_labelmodel_tree_combine_matches_flat(spark, annotated):
     for a, b in zip(flat.history, wide.history):
         assert a == pytest.approx(b, rel=1e-9)
     assert np.allclose(np.exp(flat.log_conf), np.exp(wide.log_conf))
+
+
+def test_labelmodel_fit_tolerates_zero_candidates():
+    """Regression (code review): a corpus where no doc yields candidate
+    spans must fit without crashing (uniform prior, no votes)."""
+    from weak_supervision_for_ner_spark.operators.labelmodel import LabelModelAggregator
+
+    model = LabelModelAggregator(n_iter=2)
+    model.fit([[], []])
+    assert len(model.history) == 2

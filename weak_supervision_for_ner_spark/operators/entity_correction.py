@@ -143,7 +143,12 @@ def correct_entity_spans(
 
     new_ents.sort(key=lambda p: p[0])
 
-    # overlap merge: MONEY wins, otherwise the longest span's label
+    # overlap merge: MONEY wins, otherwise the longest span's label.
+    # Deviation (deliberate): the reference deletes ``new_ents[i+j]``
+    # (spacy_wrapper.py:381) which for j>=1 destroys an UNRELATED
+    # in-between span and drops the matched span's label from the
+    # merge; we delete the matched span (i+1+j) so e.g.
+    # [(0,2,ORG),(2,4,MONEY),(2,6,ORG)] correctly surfaces MONEY.
     merge_loop = True
     while merge_loop:
         merge_loop = False
@@ -151,7 +156,7 @@ def correct_entity_spans(
         for i, (s1, e1, l1) in enumerate(snapshot):
             for j, (s2, e2, l2) in enumerate(snapshot[i + 1 : i + 5]):
                 if e1 > s2 or (e1 == s2 and l1 == l2):
-                    del new_ents[i + j]
+                    del new_ents[i + 1 + j]
                     if l1 == "MONEY" or l2 == "MONEY":
                         new_ents[i] = (s1, e2, "MONEY")
                     elif e2 - s2 >= e1 - s1:
@@ -193,7 +198,12 @@ def correct_mentions(mentions: DataFrame, annotated: DataFrame,
                     (int(m["start"]), int(m["end"]), str(m["label"])) for m in ments
                 )
                 confs = [float(m["conf"]) for m in ments]
-                source = str(ments[0]["source"]) + source_suffix if len(ments) else "corrected"
+                # deterministic regardless of collect_list order: the
+                # lexicographically smallest input source names the pass
+                source = (
+                    min(str(m["source"]) for m in ments) + source_suffix
+                    if len(ments) else "corrected"
+                )
                 max_conf = max(confs) if confs else 1.0
                 for s, e, lab in correct_entity_spans(tokens, ents):
                     overlapping = [

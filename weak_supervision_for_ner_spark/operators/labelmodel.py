@@ -157,7 +157,11 @@ class LabelModelAggregator:
             span_votes(s, self.candidate_sources, self.sources_to_keep)[1]
             for s in docs_spans
         ]
-        obs = np.vstack([b for b in blocks if len(b)]) if blocks else np.zeros((0, len(SOURCE_NAMES)), np.int16)
+        blocks = [b for b in blocks if len(b)]
+        obs = (
+            np.vstack(blocks) if blocks
+            else np.zeros((0, len(SOURCE_NAMES)), np.int16)
+        )
         self.log_prior, self.log_conf = self._init_params()
         for _ in range(self.n_iter):
             prior_c = np.zeros(N_CLASSES)

@@ -97,6 +97,25 @@ def lsh_topk(
     )
 
 
+def _recall_vs_exact(exact, approx, approx_col: str, k: int):
+    """Per-query recall@k of an approximate neighbor set vs the exact
+    top-k: (query_id, n_hits, recall). Shared by lsh_recall/ivf_recall."""
+    hits = (
+        exact.join(
+            approx,
+            (exact["query_id"] == approx["query_id"])
+            & (exact["neighbor_id"] == approx[approx_col]),
+            "left",
+        )
+        .select(exact["query_id"], approx[approx_col])
+        .groupBy("query_id")
+        .agg(F.count(approx_col).alias("n_hits"))
+    )
+    return hits.select(
+        "query_id", "n_hits", (F.col("n_hits") / F.lit(k)).alias("recall")
+    )
+
+
 def lsh_recall(
     embeddings: DataFrame, queries: DataFrame, k: int = 5,
     n_planes: int = 8, dim: int = 64,
@@ -113,20 +132,7 @@ def lsh_recall(
     approx = lsh_topk(embeddings, queries, k, n_planes, dim, id_col, vec_col, seed).select(
         "query_id", F.col("neighbor_id").alias("lsh_neighbor")
     )
-    hits = (
-        exact.join(
-            approx,
-            (exact["query_id"] == approx["query_id"])
-            & (exact["neighbor_id"] == approx["lsh_neighbor"]),
-            "left",
-        )
-        .select(exact["query_id"], approx["lsh_neighbor"])
-        .groupBy("query_id")
-        .agg(F.count("lsh_neighbor").alias("n_hits"))
-    )
-    return hits.select(
-        "query_id", "n_hits", (F.col("n_hits") / F.lit(k)).alias("recall")
-    )
+    return _recall_vs_exact(exact, approx, "lsh_neighbor", k)
 
 
 # ---------------------------------------------------------------------------
@@ -237,17 +243,4 @@ def ivf_recall(
     approx = ivf_topk(
         embeddings, queries, k, n_cells, nprobe, sample_limit, id_col, vec_col
     ).select("query_id", F.col("neighbor_id").alias("ivf_neighbor"))
-    hits = (
-        exact.join(
-            approx,
-            (exact["query_id"] == approx["query_id"])
-            & (exact["neighbor_id"] == approx["ivf_neighbor"]),
-            "left",
-        )
-        .select(exact["query_id"], approx["ivf_neighbor"])
-        .groupBy("query_id")
-        .agg(F.count("ivf_neighbor").alias("n_hits"))
-    )
-    return hits.select(
-        "query_id", "n_hits", (F.col("n_hits") / F.lit(k)).alias("recall")
-    )
+    return _recall_vs_exact(exact, approx, "ivf_neighbor", k)

@@ -363,7 +363,10 @@ def lsh_candidate_pairs(
         F.collect_list(id_col).alias("members"), F.count(F.lit(1)).alias("sz")
     )
     if stats is not None:
-        bucketed = bucketed.persist()
+        # one extra small job recomputing the bucket aggregation —
+        # cheaper than pinning the collect_list buckets in executor
+        # storage for the rest of the application (stats mode is a
+        # lineage diagnostic, not the hot path)
         dropped = (
             bucketed.filter(F.col("sz") > max_bucket)
             .agg(F.count(F.lit(1)).alias("nb"), F.coalesce(F.sum("sz"), F.lit(0)).alias("nm"))
@@ -423,6 +426,7 @@ def connected_components(
         .select(F.col("x").alias("name"),
                 F.least(F.col("min_y"), F.col("x")).alias("canonical"))
     )
+    converged = False
     for _ in range(max_rounds):
         # propagate: new label = min over neighbours' labels and own
         neigh = (
@@ -445,12 +449,21 @@ def connected_components(
             )
             if changed == 0:
                 labels = new_labels
+                converged = True
                 break
         labels = new_labels
     if convergence_check:
         # every round's labels are localCheckpointed, so the final
         # result no longer depends on the edges cache — release it
         edges.unpersist()
+        if not converged:
+            # exhausting the round budget in convergence mode means the
+            # caller asked for exact components (e.g. dedup survivors —
+            # stopping early silently retains duplicates); fail loudly.
+            raise RuntimeError(
+                f"connected_components did not converge within {max_rounds} rounds;"
+                " raise max_rounds (component diameter exceeds the budget)"
+            )
     if stats is not None and not convergence_check:
         labels = labels.localCheckpoint()
         neigh = (
@@ -462,6 +475,9 @@ def connected_components(
             .filter(F.col("n_min") < F.col("canonical"))
             .count()
         )
+        # labels are checkpointed and the stats job has run: the edges
+        # cache is no longer reachable from anything returned — free it
+        edges.unpersist()
     return labels
 
 
