@@ -236,9 +236,18 @@ def q_name_variants(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
+    """Exact dedup (report form) over a 40-char prefix fingerprint —
+    the fixture contains no byte-identical docs, so a full-text gate
+    would compare two empty sets (a vacuous green). The prefix
+    fingerprint yields real groups at every sf, and ``id_sample_cap=2``
+    makes the bounded-members contract itself oracle-checked: the
+    size-3 group reports n_docs=3 with only its 2 smallest ids."""
     from weak_supervision_for_ner_spark.operators.dedup import exact_duplicates
 
-    return exact_duplicates(_t(spark, sf_dir, "documents")).select(
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("prefix")
+    )
+    return exact_duplicates(docs, text_col="prefix", id_sample_cap=2).select(
         "text_hash", "n_docs", F.col("doc_ids").cast("array<long>").alias("doc_ids")
     )
 
@@ -288,12 +297,16 @@ def q_simhash(spark, sf_dir):
 
 
 def q_embedding_dups(spark, sf_dir):
+    """Threshold 0.5 (not the 0.8 default): the fixture's max pairwise
+    cosine is 0.513, so 0.8 compared two empty sets — a vacuous green.
+    At 0.5 the gate certifies a real pair end-to-end through the
+    banded-LSH blocking + exact re-rank on BOTH engines."""
     from weak_supervision_for_ner_spark.operators.dedup import embedding_near_duplicates
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.expr("transform(embedding, x -> cast(x as double))")
     )
-    return embedding_near_duplicates(emb, threshold=0.8).select(
+    return embedding_near_duplicates(emb, threshold=0.5).select(
         "a", "b", F.round("cosine", 4).alias("cosine")
     )
 
@@ -825,9 +838,14 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["dedup_exact"] = """
-        SELECT md5(text) AS text_hash, COUNT(*) AS n_docs,
-               list_sort(list(doc_id)) AS doc_ids
-        FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+        WITH h AS (
+            SELECT doc_id, md5(substr(text, 1, 40)) AS text_hash,
+                   row_number() OVER (PARTITION BY md5(substr(text, 1, 40))
+                                      ORDER BY doc_id) AS rn
+            FROM documents)
+        SELECT text_hash, COUNT(*) AS n_docs,
+               list_sort(list(doc_id) FILTER (rn <= 2)) AS doc_ids
+        FROM h GROUP BY 1 HAVING COUNT(*) > 1
     """
 
     _shingles = """
@@ -940,7 +958,7 @@ def oracle_sql() -> dict[str, str]:
         FROM cand c
         JOIN embeddings ea ON ea.vec_id = c.a
         JOIN embeddings eb ON eb.vec_id = c.b
-        WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= 0.8
+        WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= 0.5
     """
 
     sql["ann_topk"] = """

@@ -323,3 +323,39 @@ def test_drop_near_duplicates(spark, docs):
             drop_near_duplicates(docs, n_hashes=4, bands=2, n=3).collect()}
     assert 1 in kept and 2 not in kept   # exact dup collapses to smallest id
     assert 4 in kept and 5 in kept       # singletons survive
+
+
+def test_exact_duplicates_mega_group_is_bounded(spark):
+    """A 10k-member byte-identical group (the boilerplate mega-group
+    case at 100 TB) must NOT collect 10k ids into one agg buffer: the
+    report carries the exact count plus a capped, deterministic id
+    sample."""
+    from weak_supervision_for_ner_spark.operators.dedup import exact_duplicates
+
+    mega = spark.range(10_000).selectExpr(
+        "id AS doc_id", "'boilerplate empty page' AS text"
+    ).union(
+        spark.range(10_000, 10_003).selectExpr(
+            "id AS doc_id", "concat('unique ', id) AS text"
+        )
+    )
+    groups = exact_duplicates(mega, id_sample_cap=100).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n_docs"] == 10_000                      # exact count kept
+    assert g["doc_ids"] == list(range(100))           # smallest 100 ids only
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Pointer jumping makes convergence-checked CC O(log diameter):
+    a 64-node chain (diameter 63) must converge well inside a 10-round
+    budget — plain 1-hop propagation would need 63 rounds and raise."""
+    from weak_supervision_for_ner_spark.operators.triples import connected_components
+
+    chain = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(63)], "a string, b string"
+    )
+    labels = connected_components(chain, max_rounds=10, convergence_check=True)
+    got = {r["name"]: r["canonical"] for r in labels.collect()}
+    assert set(got.values()) == {"n000"}
+    assert len(got) == 64

@@ -26,15 +26,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
-    """Groups of byte-identical documents: (text_hash, n_docs, doc_ids)."""
+def exact_duplicates(
+    documents: DataFrame, text_col: str = "text", id_sample_cap: int = 100
+) -> DataFrame:
+    """Groups of byte-identical documents: (text_hash, n_docs, doc_ids).
+
+    ``doc_ids`` holds at most the ``id_sample_cap`` SMALLEST member ids
+    of each group; ``n_docs`` always carries the exact group size, so a
+    truncated sample is observable (n_docs > len(doc_ids)), never
+    silent. An unbounded ``collect_list`` here would OOM the agg buffer
+    on a boilerplate mega-group (billions of empty pages at 100 TB), so
+    members are rank-limited BEFORE collection: one shuffle on the text
+    hash (the window and the groupBy share the partitioning — Catalyst
+    reuses the exchange), bounded agg buffers everywhere."""
+    hashed = documents.select(
+        F.col("doc_id"), F.md5(F.col(text_col)).alias("text_hash")
+    )
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
     return (
-        documents
-        .select(F.col("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
+        hashed
+        .withColumn("_rn", F.row_number().over(w))
         .groupBy("text_hash")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            # collect_list skips NULLs -> at most id_sample_cap entries
+            # ever enter the buffer; sort for deterministic output
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_rn") <= id_sample_cap, F.col("doc_id"))
+                )
+            ).alias("doc_ids"),
         )
         .filter(F.col("n_docs") > 1)
     )
@@ -279,6 +300,14 @@ def embedding_near_duplicates(
     at 0.95. ``blocker="none"`` is the O(n^2) brute-force baseline used
     by verification tests (and intra-bucket re-rank inside other
     blockers); never run it on a full corpus.
+
+    MIGRATION NOTE (round 2): the default ``blocker`` changed from the
+    exact brute-force crossJoin to ``"lsh"`` — results became
+    seed/plane-count dependent with the (quantified) recall above.
+    Callers that need provably exhaustive pairs must pass
+    ``blocker="none"`` explicitly; the old default was an OOM/cartesian
+    trap at any real corpus size, which is why approximate-with-known-
+    recall is the default an operator at 100 TB actually wants.
     """
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
     base = embeddings.select(F.col(id_col), F.col(vec_col), norm.alias("nrm"))
@@ -371,14 +400,23 @@ def drop_exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataF
 
 def drop_near_duplicates(
     documents: DataFrame, n_hashes: int = 8, bands: int = 4, n: int = 3,
-    max_rounds: int = 5, text_col: str = "text",
+    max_rounds: int = 30, text_col: str = "text",
 ) -> DataFrame:
     """Near-dup corpus filtering: minhash-LSH candidate pairs →
     connected components (smallest doc_id wins) → keep only component
     representatives. This is the operator a training-data pipeline
     actually runs at 100 TB: pairs shuffle once on the band key, the
     component table is tiny relative to the corpus, and survivors come
-    from one broadcast-able anti-join."""
+    from one broadcast-able anti-join.
+
+    ``max_rounds`` is a SAFETY CAP, not the expected round count:
+    convergence-mode components interleave neighbour-min propagation
+    with pointer jumping, so rounds grow with log2(component diameter)
+    — 30 rounds cover diameters beyond 2^30, i.e. any graph that fits
+    on disk. Real LSH chains converge (and stop, via the zero-change
+    check) in a handful of rounds. Hitting the cap still raises:
+    dropping survivors because propagation stopped early would
+    silently lose training data."""
     from weak_supervision_for_ner_spark.operators.triples import connected_components
 
     pairs = minhash_lsh_pairs(documents, n_hashes, bands, n)

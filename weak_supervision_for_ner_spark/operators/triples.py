@@ -401,7 +401,13 @@ def connected_components(
     converge in practice. ``convergence_check=True`` switches to the
     classic materialize-per-round loop (localCheckpoint + changed
     count) for unbounded components — use it when component diameter
-    is unknown (and set a cluster checkpoint dir at real scale).
+    is unknown (and set a cluster checkpoint dir at real scale). That
+    mode also POINTER-JUMPS after each propagation (canonical <-
+    label[canonical], one extra self-join on the label table), so the
+    rounds needed grow with log2(diameter), not the diameter itself:
+    ``max_rounds`` = 30 certifies convergence for any component that
+    fits on disk, and chain graphs (the worst case for plain
+    propagation) converge in ~log2(n) rounds.
 
     Pass ``stats`` (a dict) to make non-convergence OBSERVABLE in lazy
     mode: after the unrolled rounds one extra propagation runs and
@@ -441,6 +447,28 @@ def connected_components(
             )
         )
         if convergence_check:
+            # Materialize the propagation BEFORE the pointer-jump
+            # self-join — an uncached self-join would run the edge join
+            # twice in one action.
+            new_labels = new_labels.localCheckpoint()
+            # Pointer jumping (path halving): canonical <- label[canonical].
+            # Every canonical id is itself a node (it came from some
+            # node's min), so the left join finds at most one row;
+            # least() is belt-and-braces against identity rows. This is
+            # what turns per-round progress from 1 hop into doubling —
+            # rounds needed ~ log2(diameter).
+            jump = new_labels.select(
+                F.col("name").alias("canonical"), F.col("canonical").alias("jc")
+            )
+            new_labels = (
+                new_labels.join(jump, on="canonical", how="left")
+                .select(
+                    "name",
+                    F.least(
+                        F.col("canonical"), F.coalesce("jc", "canonical")
+                    ).alias("canonical"),
+                )
+            )
             new_labels = new_labels.localCheckpoint()
             changed = (
                 new_labels.alias("n").join(labels.alias("o"), on="name")
