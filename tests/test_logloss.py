@@ -103,3 +103,19 @@ def test_token_logloss_doc_len_defaults_to_gold_extent(frames):
     # max(end) per url: d1=8, d2=2, d3=3
     assert row["n_tokens"] == 8 + 2 + 3
     assert row["logloss_total"] > 0
+
+
+def test_token_logloss_ignores_degenerate_spans(spark, frames):
+    """end <= start would make F.sequence descend (wrong token indices
+    injected silently); such spans must contribute nothing instead."""
+    from weak_supervision_for_ner_spark.operators.evaluate import token_logloss
+
+    gold, pred, doc_len = frames
+    degenerate = spark.createDataFrame(
+        [("d1", 5, 5, "ORG", 0.9), ("d1", 6, 4, "ORG", 0.9)],
+        "url string, start int, end int, label string, conf double",
+    )
+    base = token_logloss(gold, pred, doc_len).collect()[0]
+    with_deg = token_logloss(gold, pred.unionByName(degenerate), doc_len).collect()[0]
+    assert with_deg["n_tokens"] == base["n_tokens"]
+    assert math.isclose(with_deg["logloss_total"], base["logloss_total"], rel_tol=1e-12)

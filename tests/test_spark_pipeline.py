@@ -130,9 +130,10 @@ def test_hmm_spark_fit_and_decode(spark, tmp_path):
 
 
 def test_hmm_tree_combine_matches_flat_collect(spark):
-    """E-step stats summed through the tree-combine level at 256
-    partitions must reproduce the flat-collect fit (same logprob
-    history up to float summation order, same parameters)."""
+    """E-step stats AND the one-time prior-count pass summed through
+    the tree-combine level at 256 partitions must reproduce the
+    flat-collect fit (same prior matrices, same logprob history up to
+    float summation order, same parameters)."""
     import numpy as np
 
     from weak_supervision_for_ner_spark.operators.hmm import HMMAggregator
@@ -146,6 +147,10 @@ def test_hmm_tree_combine_matches_flat_collect(spark):
     wide = HMMAggregator(n_iter=2)
     wide.fit_spark(spark, annotated.repartition(256), tree_combine=True, combine_fanin=16)
 
+    # prior-count pass parity (flat driver sum vs tree-combined)
+    assert np.allclose(flat.startprob_prior, wide.startprob_prior)
+    assert np.allclose(flat.transmat_prior, wide.transmat_prior)
+    assert np.allclose(flat.emission_priors, wide.emission_priors)
     assert len(flat.history) == len(wide.history)
     for a, b in zip(flat.history, wide.history):
         assert a == pytest.approx(b, rel=1e-9)

@@ -66,7 +66,10 @@ def _counts(gold: DataFrame, pred: DataFrame, keys: list[str]) -> DataFrame:
 
 
 def _tokens(df: DataFrame) -> DataFrame:
-    return df.select(
+    # end <= start would make F.sequence DESCEND (Spark auto-reverses
+    # empty ranges), silently injecting wrong token indices — degenerate
+    # spans contribute nothing instead
+    return df.filter(F.col("end") > F.col("start")).select(
         "url", "label",
         F.explode(F.sequence(F.col("start"), F.col("end") - 1)).alias("idx"),
     )
@@ -77,7 +80,9 @@ def _biluo_tokens(df: DataFrame, with_conf: bool = False) -> DataFrame:
     (analysis.py:170-206): a unit span is U-label; longer spans emit
     B-label, I-label*, L-label."""
     cols = ["url", "start", "end", "label"] + (["conf"] if with_conf else [])
-    tok = df.select(
+    # degenerate spans (end <= start) would explode a DESCENDING
+    # sequence into wrong token indices — drop them instead
+    tok = df.filter(F.col("end") > F.col("start")).select(
         *cols, F.explode(F.sequence(F.col("start"), F.col("end") - 1)).alias("idx")
     )
     tag = (
@@ -125,6 +130,8 @@ def token_logloss(
 
     if doc_len is None:
         doc_len = gold.groupBy("url").agg(F.max("end").alias("n_tokens"))
+    # zero/negative-length docs would explode a descending index range
+    doc_len = doc_len.filter(F.col("n_tokens") > 0)
     dlab = gold.select("url", "label").distinct()
     nlab = dlab.groupBy("url").agg(F.count(F.lit(1)).alias("nlabels"))
     toks = doc_len.select(

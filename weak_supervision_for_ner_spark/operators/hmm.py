@@ -24,6 +24,7 @@ labelling.py:332/357 — SURVEY.md §7.4 calls this out as required).
 from __future__ import annotations
 
 import json
+import logging
 import os
 from typing import Iterator
 
@@ -424,9 +425,9 @@ class HMMAggregator:
 
         Convergence follows the reference (hmmlearn ConvergenceMonitor,
         labelling.py:238): stop when the SIGNED logprob delta drops
-        below ``tol``, an absolute criterion — a decrease also stops
-        (with a warning in hmmlearn; silently here), and ``n_iter``
-        caps the loop either way.
+        below ``tol``, an absolute criterion — a decrease also stops,
+        with a logged warning mirroring hmmlearn's monitor, and
+        ``n_iter`` caps the loop either way.
         """
         annotated = annotated.select("tokens", "spans")
 
@@ -439,7 +440,8 @@ class HMMAggregator:
 
         if self.startprob_ is None:
             counts = _collect_prior_counts(
-                annotated, self._best_coverage_source_index(), self._excluded
+                annotated, self._best_coverage_source_index(), self._excluded,
+                tree_combine=tree_combine, combine_fanin=combine_fanin,
             )
             self.initialise(*counts)
             if checkpoint_dir:
@@ -512,6 +514,17 @@ class HMMAggregator:
                 self.save(os.path.join(checkpoint_dir, f"iter_{iteration:03d}"),
                           iteration, float(curr_logprob))
             if prev_logprob is not None and curr_logprob - prev_logprob < self.tol:
+                if curr_logprob < prev_logprob:
+                    # mirrors hmmlearn's ConvergenceMonitor warning: EM
+                    # should be monotone, so a decrease usually means
+                    # float reordering (tree-combine at high partition
+                    # counts) or a degenerate init — stopping is still
+                    # correct, but say so instead of stopping silently
+                    logging.getLogger(__name__).warning(
+                        "HMM logprob decreased (%.6f -> %.6f) at iteration %d;"
+                        " stopping (model is not strictly converging)",
+                        prev_logprob, curr_logprob, iteration,
+                    )
                 break
             prev_logprob = curr_logprob
         return self
@@ -547,25 +560,34 @@ class HMMAggregator:
         return annotated.mapInPandas(run, schema=MENTIONS_SCHEMA)
 
 
-def _tree_combine_stats(stats: DataFrame, schema, fanin: int) -> DataFrame:
-    """Second aggregation level for the E-step partials: shuffle the
-    one-row-per-partition stats to ``fanin`` groups and sum inside each
-    with applyInPandas, bounding driver traffic at O(fanin) rows
-    regardless of the input partition count."""
+def _tree_combine_stats(stats: DataFrame, schema, fanin: int,
+                        shapes: dict[str, tuple] | None = None) -> DataFrame:
+    """Second aggregation level for one-row-per-partition partials:
+    shuffle the stats rows to ``fanin`` groups and sum inside each with
+    applyInPandas, bounding driver traffic at O(fanin) rows regardless
+    of the input partition count. ``shapes`` names the BINARY columns
+    (packed ndarrays) with their array shapes; every other column is
+    summed numerically (floats stay float, ints stay int). Used by both
+    the per-iteration E-step pass and the one-time prior-count pass."""
+    if shapes is None:
+        shapes = {
+            "start": (N_STATES,),
+            "trans": (N_STATES, N_STATES),
+            "obs": (N_SOURCES, N_STATES, N_STATES),
+        }
+    fields = [(f.name, f.dataType.typeName()) for f in schema.fields]
 
     def combine(pdf: pd.DataFrame) -> pd.DataFrame:
-        start = sum(np.frombuffer(b).reshape(N_STATES) for b in pdf["start"])
-        trans = sum(np.frombuffer(b).reshape(N_STATES, N_STATES) for b in pdf["trans"])
-        obs = sum(
-            np.frombuffer(b).reshape(N_SOURCES, N_STATES, N_STATES) for b in pdf["obs"]
-        )
-        return pd.DataFrame({
-            "logprob": [pdf["logprob"].sum()],
-            "n_docs": [int(pdf["n_docs"].sum())],
-            "n_tokens": [int(pdf["n_tokens"].sum())],
-            "start": [start.tobytes()], "trans": [trans.tobytes()],
-            "obs": [obs.tobytes()],
-        })
+        out = {}
+        for name, typ in fields:
+            if name in shapes:
+                total = sum(np.frombuffer(b).reshape(shapes[name]) for b in pdf[name])
+                out[name] = [total.tobytes()]
+            elif typ in ("long", "integer"):
+                out[name] = [int(pdf[name].sum())]
+            else:
+                out[name] = [pdf[name].sum()]
+        return pd.DataFrame(out)
 
     return (
         stats
@@ -581,8 +603,14 @@ def _tree_combine_stats(stats: DataFrame, schema, fanin: int) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _collect_prior_counts(
-    annotated: DataFrame, best_source_index: int, excluded: np.ndarray | None = None
+    annotated: DataFrame, best_source_index: int, excluded: np.ndarray | None = None,
+    tree_combine: bool | str = "auto", combine_fanin: int = 32,
 ):
+    """One partial-counts row per partition, then (like the E-step) an
+    optional tree-combine level: each row is ~78 KB of packed matrices,
+    so a flat collect at 10k partitions would be ~780 MB of driver
+    traffic — the same auto rule (defaultParallelism >= 128) bounds it
+    at O(fanin) rows. One-time pass, not per-iteration."""
     def count_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         init = np.zeros(N_STATES)
         trans = np.zeros((N_STATES, N_STATES))
@@ -608,7 +636,21 @@ def _collect_prior_counts(
         T.StructField("trans", T.BinaryType()),
         T.StructField("obs", T.BinaryType()),
     ])
-    rows = annotated.mapInPandas(count_partition, schema=schema).collect()
+    stats = annotated.mapInPandas(count_partition, schema=schema)
+    sc = annotated.sparkSession.sparkContext
+    use_tree = tree_combine is True or (
+        tree_combine == "auto" and sc.defaultParallelism >= 128
+    )
+    if use_tree:
+        stats = _tree_combine_stats(
+            stats, schema, combine_fanin,
+            shapes={
+                "init": (N_STATES,),
+                "trans": (N_STATES, N_STATES),
+                "obs": (N_SOURCES, N_STATES),
+            },
+        )
+    rows = stats.collect()
     init = sum(np.frombuffer(r["init"]).reshape(N_STATES) for r in rows)
     trans = sum(np.frombuffer(r["trans"]).reshape(N_STATES, N_STATES) for r in rows)
     obs = sum(np.frombuffer(r["obs"]).reshape(N_SOURCES, N_STATES) for r in rows)
