@@ -32,6 +32,12 @@ def main() -> None:
                     help="also export aggregated mentions as JSON "
                          "(the reference's convert_to_json sink)")
     ap.add_argument("--metrics", action="store_true")
+    ap.add_argument("--no-truecase", action="store_true",
+                    help="skip corpus-derived case repair (the reference "
+                         "truecases <=25-token docs by default)")
+    ap.add_argument("--no-entity-correction", action="store_true",
+                    help="skip the 15-rule entity repair pass (the reference "
+                         "applies it after every model annotation)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -56,6 +62,8 @@ def main() -> None:
         lineage_path=args.lineage,
         with_metrics=args.metrics,
         mentions_consumed=bool(args.mentions_out or args.mentions_json),
+        truecase=not args.no_truecase,
+        entity_correction=not args.no_entity_correction,
     )
     write_graph(graph, args.output)
     if args.mentions_out:

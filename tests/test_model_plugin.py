@@ -45,17 +45,49 @@ def test_model_source_feeds_extract_sequence_and_hmm(spark, with_model):
     from weak_supervision_for_ner_spark.schema import LABEL_INDICES, SOURCE_INDICES
 
     rows = with_model.collect()
-    si = SOURCE_INDICES["model_annotator"]
     gpe_u = LABEL_INDICES["U-GPE"]
-    saw_vote = False
-    for r in rows:
-        X = sequence_from_spans(list(r["spans"]), len(r["tokens"]))
-        if (X[:, si, gpe_u] > 0).any():
-            saw_vote = True
-            break
-    assert saw_vote, "model votes never reached the observation tensor"
+    # BOTH layers of the registered model (raw + entity-corrected "+c",
+    # reference annotations.py:531-535) must reach the observation tensor
+    for src in ("model_annotator", "model_annotator+c"):
+        si = SOURCE_INDICES[src]
+        saw_vote = False
+        for r in rows:
+            X = sequence_from_spans(list(r["spans"]), len(r["tokens"]))
+            if (X[:, si, gpe_u] > 0).any():
+                saw_vote = True
+                break
+        assert saw_vote, f"{src} votes never reached the observation tensor"
 
     model = HMMAggregator(n_iter=2)
     model.fit_spark(spark, with_model)
     decoded = model.decode_spark(spark, with_model)
     assert decoded.filter("label = 'GPE'").count() > 0
+
+
+def test_corrected_layer_repairs_model_spans(spark):
+    """A model whose raw span stops before a legal suffix gets a "+c"
+    layer extending it to ORG (rule: legal suffix right after -> ORG),
+    while the raw layer stays untouched."""
+    from weak_supervision_for_ner_spark.operators.annotate import (
+        mentions_from_annotated,
+    )
+    from weak_supervision_for_ner_spark.operators.model_annotator import (
+        annotate_with_model,
+    )
+
+    annotated = spark.createDataFrame(
+        [("u1", ["Pied", "Piper", "GmbH", "expanded", "."], [])],
+        "url string, tokens array<string>, "
+        "spans array<struct<source:string,start:int,end:int,label:string,conf:double>>",
+    )
+
+    def stub_model(tokens):
+        return [(0, 2, "COMPANY", 0.9)] if tokens[:2] == ["Pied", "Piper"] else []
+
+    out = mentions_from_annotated(annotate_with_model(annotated, stub_model))
+    raw = [(r["start"], r["end"], r["label"])
+           for r in out.filter("source = 'model_annotator'").collect()]
+    cor = [(r["start"], r["end"], r["label"])
+           for r in out.filter("source = 'model_annotator+c'").collect()]
+    assert raw == [(0, 2, "COMPANY")]
+    assert cor == [(0, 3, "ORG")]

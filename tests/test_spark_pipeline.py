@@ -208,6 +208,67 @@ def test_cli_job_writes_graph_and_json_mentions(spark, tmp_path, monkeypatch):
     assert {"url", "source", "start", "end", "label", "conf"} <= set(json_rows.columns)
 
 
+def test_hmm_fused_triples_match_join_path(spark):
+    """extract_triples_hmm_fused (decode + SVO in one Arrow stage, no
+    mentions join) must produce the identical triple set as decoding to
+    a mentions table and joining it back."""
+    from weak_supervision_for_ner_spark.operators.hmm import HMMAggregator
+    from weak_supervision_for_ner_spark.operators.triples import (
+        extract_triples,
+        extract_triples_hmm_fused,
+    )
+
+    pages = synth_pages(spark, 80, partitions=3)
+    annotated = annotate_pages(pages).persist()
+    model = HMMAggregator(n_iter=2)
+    model.fit_spark(spark, annotated)
+
+    joined = extract_triples(annotated, model.decode_spark(spark, annotated))
+    fused = extract_triples_hmm_fused(annotated, model)
+    cols = sorted(fused.columns)
+    a = sorted(map(tuple, joined.select(*cols).collect()))
+    b = sorted(map(tuple, fused.select(*cols).collect()))
+    assert a == b and a
+    # and the fused plan really has no join
+    assert "Join" not in fused._jdf.queryExecution().executedPlan().toString()
+    annotated.unpersist()
+
+
+def test_cli_truecase_and_correction_are_flagship_defaults(spark, tmp_path, monkeypatch):
+    """The reference truecases <=25-token docs during parsing and
+    repairs entities after every annotation BY DEFAULT — so must the
+    CLI: an ALL-CAPS headline page yields its triple through the stock
+    CLI invocation, and --no-truecase loses it."""
+    import sys
+
+    from jobs.run_pipeline import main
+
+    pages = synth_pages(spark, 60, partitions=2).select("url", "text", "lang")
+    extra = spark.createDataFrame(
+        [("https://caps.example.com/h1",
+          "REPORT : CYBERDYNE SYSTEMS ACQUIRED INITECH", "en")],
+        "url string, text string, lang string",
+    )
+    inp = tmp_path / "pages"
+    pages.unionByName(extra).write.parquet(str(inp))
+
+    def run(*flags):
+        out = tmp_path / ("graph" + str(len(flags)))
+        monkeypatch.setattr(sys, "argv", [
+            "run_pipeline.py", "--input", str(inp), "--output", str(out), *flags,
+        ])
+        main()
+        return spark.read.parquet(str(out))
+
+    stock = run()
+    hit = stock.filter("url = 'https://caps.example.com/h1'").collect()
+    assert [(r["subj"], r["pred"], r["obj"]) for r in hit] == [
+        ("Cyberdyne Systems", "acquired", "Initech")
+    ]
+    no_tc = run("--no-truecase")
+    assert no_tc.filter("url = 'https://caps.example.com/h1'").count() == 0
+
+
 def test_canonicalize_driver_and_distributed_paths_agree(spark, pages_df):
     """The driver-side union-find strategy (small unlinked sets) and
     the distributed LSH+CC path must assign identical canonical ids."""

@@ -174,6 +174,27 @@ def correct_entity_spans(
     return new_ents
 
 
+def correct_spans_with_conf(
+    tokens: list[str], ments: list[tuple[int, int, str, float]]
+) -> list[tuple[int, int, str, float]]:
+    """Run the 15-rule repair over (start, end, label, conf) mentions
+    and re-attach confidences: a repaired span carries the max conf of
+    the input spans it absorbs (the reference's spaCy ents carry no
+    confidence; ours do — same policy as :func:`correct_mentions`).
+    Per-doc pure function: safe inside any fused Arrow stage."""
+    ents = sorted((int(s), int(e), str(lab)) for (s, e, lab, _c) in ments)
+    max_conf = max((float(c) for (_s, _e, _l, c) in ments), default=1.0)
+    n = len(tokens)
+    out = []
+    for s, e, lab in correct_entity_spans(tokens, ents):
+        e = min(e, n)
+        overlapping = [
+            float(c) for (ms, me, _ml, c) in ments if ms < e and s < me
+        ]
+        out.append((s, e, lab, max(overlapping) if overlapping else max_conf))
+    return out
+
+
 def correct_mentions(mentions: DataFrame, annotated: DataFrame,
                      source_suffix: str = "") -> DataFrame:
     """Run the repair pass over an aggregated mention table.

@@ -33,26 +33,48 @@ def annotate_with_model(
     annotated: DataFrame,
     model_fn: ModelFn,
     source_name: str = "model_annotator",
+    with_corrected: bool = True,
 ) -> DataFrame:
     """Append ``model_fn``'s spans to each doc's spans array under
-    ``source_name``. One narrow Arrow stage, no shuffle; downstream
-    specialise/extract_sequence/HMM consume the new source because it
-    is in the registry."""
+    ``source_name`` — and, like the reference (annotations.py:531-535
+    registers BOTH ``source`` and ``source+c``), the entity-corrected
+    repair of those spans under ``source_name + "+c"`` when
+    ``with_corrected`` is on. One narrow Arrow stage, no shuffle;
+    downstream specialise/extract_sequence/HMM consume the new sources
+    because they are in the registry."""
     if source_name not in SOURCE_INDICES:
         raise ValueError(
             f"source {source_name!r} is not registered in schema.SOURCE_NAMES; "
             "add it there (with a SOURCE_PRIORS row) so aggregators can see it"
         )
+    corrected_name = source_name + "+c"
+    if with_corrected and corrected_name not in SOURCE_INDICES:
+        raise ValueError(
+            f"source {corrected_name!r} is not registered in schema.SOURCE_NAMES; "
+            "register the corrected layer alongside the raw one"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from weak_supervision_for_ner_spark.operators.entity_correction import (
+            correct_spans_with_conf,
+        )
+
         for pdf in batches:
             spans_out = []
             for tokens, spans in zip(pdf["tokens"], pdf["spans"]):
+                tokens = list(tokens)
+                preds = model_fn(tokens)
                 extra = [
                     {"source": source_name, "start": int(s), "end": int(e),
                      "label": str(label), "conf": float(conf)}
-                    for (s, e, label, conf) in model_fn(list(tokens))
+                    for (s, e, label, conf) in preds
                 ]
+                if with_corrected:
+                    extra += [
+                        {"source": corrected_name, "start": int(s), "end": int(e),
+                         "label": str(label), "conf": float(conf)}
+                        for (s, e, label, conf) in correct_spans_with_conf(tokens, preds)
+                    ]
                 spans_out.append(list(spans) + extra)
             yield pd.DataFrame(
                 {"url": pdf["url"], "tokens": pdf["tokens"], "spans": spans_out}

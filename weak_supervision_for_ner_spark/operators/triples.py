@@ -164,11 +164,21 @@ def extract_triples_from_doc(
 
 
 def extract_triples_direct(pages: DataFrame, nb_sources_threshold: int = 4,
-                           lang: str = "en") -> DataFrame:
+                           lang: str = "en", truecase: bool = False,
+                           form_freqs: dict | None = None,
+                           correct: bool = False) -> DataFrame:
     """Maximal fusion: pages → annotate → specialise → majority-vote →
-    SVO triples in ONE Arrow stage. On the graph path the span table
-    never crosses the Arrow boundary at all — used by the pipeline
-    when the aggregator is per-doc recomputable (majority voting)."""
+    [entity-correct] → SVO triples in ONE Arrow stage. On the graph
+    path the span table never crosses the Arrow boundary at all — used
+    by the pipeline when the aggregator is per-doc recomputable
+    (majority voting).
+
+    ``truecase`` derives the corpus casing dictionary (one groupBy +
+    bounded collect) and broadcasts it, exactly like ``annotate_pages``
+    (pass ``form_freqs`` to reuse a precomputed dictionary — at real
+    scale derive it once and ship it). ``correct`` applies the 15-rule
+    entity-repair pass (spacy_wrapper.py:268-402) to the aggregated
+    mentions per doc — still row-local, so the stage stays narrow."""
     from weak_supervision_for_ner_spark.operators.aggregate import (
         decode_biluo,
         layers_from_spans,
@@ -176,13 +186,28 @@ def extract_triples_direct(pages: DataFrame, nb_sources_threshold: int = 4,
         specialise_layers,
     )
     from weak_supervision_for_ner_spark.operators.annotate import annotate_batch
+    from weak_supervision_for_ner_spark.operators.entity_correction import (
+        correct_spans_with_conf,
+    )
 
     selected = pages.filter(F.col("lang") == lang).select("url", "text")
+    bc = None
+    if truecase or form_freqs is not None:
+        if form_freqs is None:
+            from weak_supervision_for_ner_spark.operators.textstats import (
+                collect_form_frequency_dict,
+            )
+
+            form_freqs = collect_form_frequency_dict(selected)
+        bc = selected.sparkSession.sparkContext.broadcast(form_freqs)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        freqs = bc.value if bc is not None else None
         for pdf in batches:
             rows = []
-            for url, (tokens, spans) in zip(pdf["url"], annotate_batch(pdf["text"])):
+            for url, (tokens, spans) in zip(
+                pdf["url"], annotate_batch(pdf["text"], form_freqs=freqs)
+            ):
                 layers = specialise_layers(layers_from_spans(spans))
                 states, confs = majority_vote_sparse(
                     layers, len(tokens), nb_sources_threshold
@@ -191,6 +216,8 @@ def extract_triples_direct(pages: DataFrame, nb_sources_threshold: int = 4,
                     (s, e, lab, conf)
                     for (s, e), (lab, conf) in decode_biluo(states, confs).items()
                 ]
+                if correct:
+                    ments = correct_spans_with_conf(tokens, ments)
                 rows.extend(extract_triples_from_doc(url, tokens, ments))
             yield pd.DataFrame(
                 rows,
@@ -200,18 +227,23 @@ def extract_triples_direct(pages: DataFrame, nb_sources_threshold: int = 4,
     return selected.mapInPandas(run, schema=TRIPLES_SCHEMA)
 
 
-def extract_triples_fused(annotated: DataFrame, nb_sources_threshold: int = 4) -> DataFrame:
+def extract_triples_fused(annotated: DataFrame, nb_sources_threshold: int = 4,
+                          correct: bool = False) -> DataFrame:
     """Zero-shuffle triple extraction: re-derive the majority-voter
     mentions per doc (cheap vectorized numpy) INSIDE the same Arrow
     batch and run the SVO rule — the whole pages→triples path stays one
     narrow stage. Preferred in the pipeline over
     :func:`extract_triples`, which exists for aggregators whose
-    mentions are not per-doc recomputable (e.g. a trained HMM)."""
+    mentions are not per-doc recomputable (e.g. a trained HMM).
+    ``correct`` applies the 15-rule repair pass per doc first."""
     from weak_supervision_for_ner_spark.operators.aggregate import (
         decode_biluo,
         layers_from_spans,
         majority_vote_sparse,
         specialise_layers,
+    )
+    from weak_supervision_for_ner_spark.operators.entity_correction import (
+        correct_spans_with_conf,
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -227,6 +259,8 @@ def extract_triples_fused(annotated: DataFrame, nb_sources_threshold: int = 4) -
                     (s, e, lab, conf)
                     for (s, e), (lab, conf) in decode_biluo(states, confs).items()
                 ]
+                if correct:
+                    ments = correct_spans_with_conf(tokens, ments)
                 rows.extend(extract_triples_from_doc(url, tokens, ments))
             yield pd.DataFrame(
                 rows,
@@ -236,9 +270,66 @@ def extract_triples_fused(annotated: DataFrame, nb_sources_threshold: int = 4) -
     return annotated.mapInPandas(run, schema=TRIPLES_SCHEMA)
 
 
-def extract_triples(annotated: DataFrame, mentions: DataFrame) -> DataFrame:
+def extract_triples_hmm_fused(annotated: DataFrame, model,
+                              correct: bool = False) -> DataFrame:
+    """Decode-fused HMM-path triple extraction: Viterbi-decode the
+    trained model and run [entity-correct →] the SVO rule per doc in
+    ONE Arrow stage over the annotated table — no mentions shuffle, no
+    join back (the HMM-path counterpart of :func:`extract_triples_fused`;
+    the trained params travel as a broadcast like ``decode_spark``).
+    Produces the same graph as ``extract_triples(annotated,
+    model.decode_spark(...))`` — asserted by the parity test."""
+    from weak_supervision_for_ner_spark.operators.aggregate import (
+        decode_biluo,
+        sequence_from_spans,
+    )
+    from weak_supervision_for_ner_spark.operators.entity_correction import (
+        correct_spans_with_conf,
+    )
+
+    params_bc = annotated.sparkSession.sparkContext.broadcast(
+        (model.startprob_, model.transmat_, model.emission_probs)
+    )
+    excluded = model._excluded
+    model_cls = type(model)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sp, tm, ep = params_bc.value
+        m = model_cls.__new__(model_cls)
+        m.startprob_, m.transmat_, m.emission_probs = sp, tm, ep
+        m._excluded = excluded
+        for pdf in batches:
+            rows = []
+            for url, tokens, spans in zip(pdf["url"], pdf["tokens"], pdf["spans"]):
+                tokens = list(tokens)
+                if not tokens:
+                    continue
+                X = sequence_from_spans(list(spans), len(tokens))
+                path, confs = m.label(X)
+                ments = [
+                    (s, e, lab, conf)
+                    for (s, e), (lab, conf) in decode_biluo(path, confs).items()
+                ]
+                if correct:
+                    ments = correct_spans_with_conf(tokens, ments)
+                rows.extend(extract_triples_from_doc(url, tokens, ments))
+            yield pd.DataFrame(
+                rows,
+                columns=["subj", "subj_type", "pred", "obj", "obj_type", "url", "conf"],
+            )
+
+    return annotated.mapInPandas(run, schema=TRIPLES_SCHEMA)
+
+
+def extract_triples(annotated: DataFrame, mentions: DataFrame,
+                    correct: bool = False) -> DataFrame:
     """Join aggregated mentions back onto tokens (co-partitioned equi
-    join on url) and run the SVO rule per doc inside Arrow batches."""
+    join on url) and run [entity-correct →] the SVO rule per doc
+    inside Arrow batches."""
+    from weak_supervision_for_ner_spark.operators.entity_correction import (
+        correct_spans_with_conf,
+    )
+
     grouped = mentions.groupBy("url").agg(
         F.collect_list(F.struct("start", "end", "label", "conf")).alias("ms")
     )
@@ -248,12 +339,15 @@ def extract_triples(annotated: DataFrame, mentions: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for url, tokens, ms in zip(pdf["url"], pdf["tokens"], pdf["ms"]):
+                tokens = list(tokens)
                 ments = [
                     (int(m["start"]), int(m["end"]), m["label"], float(m["conf"]))
                     if isinstance(m, dict) else (int(m[0]), int(m[1]), m[2], float(m[3]))
                     for m in ms
                 ]
-                rows.extend(extract_triples_from_doc(url, list(tokens), ments))
+                if correct:
+                    ments = correct_spans_with_conf(tokens, ments)
+                rows.extend(extract_triples_from_doc(url, tokens, ments))
             yield pd.DataFrame(
                 rows,
                 columns=["subj", "subj_type", "pred", "obj", "obj_type", "url", "conf"],

@@ -23,9 +23,9 @@ from weak_supervision_for_ner_spark.operators.annotate import (
 from weak_supervision_for_ner_spark.operators.hmm import HMMAggregator
 from weak_supervision_for_ner_spark.operators.triples import (
     canonicalize_triples,
-    extract_triples,
     extract_triples_direct,
     extract_triples_fused,
+    extract_triples_hmm_fused,
     link_entities,
     materialize_graph,
 )
@@ -78,11 +78,26 @@ def run_kg_pipeline(
     lineage_path: str | None = None,
     with_metrics: bool = False,
     mentions_consumed: bool = False,
+    truecase: bool = True,
+    entity_correction: bool = True,
+    form_freqs: dict | None = None,
 ):
     """pages -> (annotated, mentions, graph) DataFrames.
 
     aggregator: 'majority' (stateless, zero extra passes) or 'hmm'
     (EM driver loop; params checkpointed per iteration).
+
+    ``truecase`` (default ON, mirroring the reference pipe which
+    truecases every ≤25-token doc during parsing,
+    spacy_wrapper.py:186-221): derive the corpus casing dictionary ONCE
+    (one groupBy + bounded driver collect) and broadcast it to every
+    annotation stage; pass ``form_freqs`` to reuse a precomputed
+    dictionary (at 100 TB derive it once per corpus snapshot, not per
+    run). ``entity_correction`` (default ON, mirroring
+    spacy_wrapper.py:268-402 which repairs entities after every model
+    annotation): apply the 15-rule boundary/type repair to the
+    aggregated layer before triple extraction — per-doc pure function,
+    fused into the extraction stage, so neither default adds a shuffle.
 
     ``mentions_consumed``: set True when the caller will materialize
     the mentions/annotated tables as well as the graph (e.g.
@@ -94,9 +109,19 @@ def run_kg_pipeline(
     """
     lineage = Lineage(lineage_path)
 
+    if truecase and form_freqs is None:
+        from weak_supervision_for_ner_spark.operators.textstats import (
+            collect_form_frequency_dict,
+        )
+
+        form_freqs = collect_form_frequency_dict(
+            pages.filter(F.col("lang") == "en").select("url", "text")
+        )
+        lineage.stage("truecase_dict", n_forms=len(form_freqs))
+
     # The annotated table feeds the aggregator AND (on the hmm/reuse
     # paths) the triple extraction; persist it so labelling runs once.
-    annotated = annotate_pages(pages).persist()
+    annotated = annotate_pages(pages, form_freqs=form_freqs).persist()
     if aggregator == "hmm":
         model = HMMAggregator(n_iter=hmm_iters)
         model.fit_spark(spark, annotated, checkpoint_dir=checkpoint_dir, resume=True)
@@ -109,16 +134,21 @@ def run_kg_pipeline(
     lineage.stage("aggregate", mentions)
 
     if aggregator == "hmm":
-        # trained-model mentions are not per-doc recomputable: join path
-        raw_triples = extract_triples(annotated, mentions)
+        # decode-fused: Viterbi + SVO in one Arrow stage over the
+        # persisted annotated table — no mentions join on the graph path
+        raw_triples = extract_triples_hmm_fused(
+            annotated, model, correct=entity_correction
+        )
     elif mentions_consumed or with_metrics:
         # annotated gets materialized anyway — reuse its cache so the
         # labelling stage executes exactly once end-to-end
-        raw_triples = extract_triples_fused(annotated)
+        raw_triples = extract_triples_fused(annotated, correct=entity_correction)
     else:
         # graph-only caller: maximally-fused single python stage over
         # pages — span structs never cross Arrow on the graph path
-        raw_triples = extract_triples_direct(pages)
+        raw_triples = extract_triples_direct(
+            pages, form_freqs=form_freqs, correct=entity_correction
+        )
     if with_metrics:
         for row in stage_metrics(annotated).collect():
             lineage.stage("annotate_partition", **row.asDict())

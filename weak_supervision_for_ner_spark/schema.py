@@ -53,8 +53,11 @@ SOURCE_NAMES = sorted(
         # plug-in slot for external model annotators (the reference
         # registers spaCy models the same way, labelling.py:14-23);
         # static on purpose: executors re-import this module, so the
-        # registry must ship with the package, not be mutated at runtime
-        "model_annotator",
+        # registry must ship with the package, not be mutated at runtime.
+        # Every registered model contributes TWO layers like the
+        # reference (annotations.py:531-535): the raw predictions and
+        # the entity-corrected "+c" variant.
+        "model_annotator", "model_annotator+c",
     ]
     + [f"{gaz}_{case}" for gaz in GAZETTEERS for case in ("cased", "uncased")]
     + [f"multitoken_{gaz}_{case}" for gaz in GAZETTEERS for case in ("cased", "uncased")]
@@ -85,8 +88,11 @@ SOURCE_PRIORS: dict[str, dict[str, tuple[float, float]]] = {
     "infrequent_proper_detector": {l: ((0.7, 0.8) if l not in NUMBER_NERS else (0.01, 0.01)) for l in LABELS},
     "legal_detector": {"LAW": (0.8, 0.8)},
     "misc_detector": {l: (0.7, 0.7) for l in ["NORP", "EVENT", "FAC", "GPE", "LANGUAGE"]},
-    # neural-model prior mirroring the reference's core_web_md row
+    # neural-model prior mirroring the reference's core_web_md row;
+    # the corrected "+c" layer carries the same prior (the reference
+    # registers both under one prior family, labelling.py:27-78)
     "model_annotator": {l: ((0.8, 0.8) if l not in NUMBER_NERS else (0.01, 0.01)) for l in LABELS},
+    "model_annotator+c": {l: ((0.8, 0.8) if l not in NUMBER_NERS else (0.01, 0.01)) for l in LABELS},
     "money_detector": {"MONEY": (0.9, 0.9)},
     "multitoken_crunchbase_cased": {l: (0.8, 0.6) for l in ["PERSON", "ORG", "COMPANY"]},
     "multitoken_crunchbase_uncased": {l: (0.7, 0.7) for l in ["PERSON", "ORG", "COMPANY"]},
