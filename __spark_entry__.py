@@ -639,6 +639,37 @@ def q_pages_corrected(spark, sf_dir):
     return correct_mentions(majority_voter_mentions(annotated), annotated)
 
 
+def q_crowd_gold(spark, sf_dir):
+    """Crowd-gold loader (reference analysis.py:213-301): records are
+    derived deterministically from the corpus' own first sentences
+    (annotated_text = the first whitespace token as PERSON, char
+    offsets), then joined BACK by exact sentence text and re-aligned to
+    token coordinates — exercising the dedup window, the broadcast text
+    join and the char->token alignment end-to-end. Rows-only gate; the
+    exact semantics (misaligned drops, DATETIME mapping, overlap merge)
+    are pinned by tests/test_crowd.py."""
+    from weak_supervision_for_ner_spark.sources.crowd import (
+        load_crowd_gold,
+        sentence_table,
+    )
+
+    pages = _pages(spark, sf_dir)
+    records = (
+        sentence_table(pages)
+        .filter((F.col("sent_idx") == 0) & (F.length("sent_text") > 0))
+        .select(
+            F.col("sent_text").alias("original_text"),
+            F.concat(
+                F.lit("0-"),
+                (F.length(F.split(F.trim("sent_text"), r"\s+")[0]) - 1).cast("string"),
+                F.lit("/person"),
+            ).alias("annotated_text"),
+        )
+        .distinct()
+    )
+    return load_crowd_gold(records, pages)
+
+
 def q_pages_snorkel(spark, sf_dir):
     """Snorkel-style generative label-model mentions (reference
     labelling.py:534-590; Dawid-Skene EM over span votes)."""
@@ -745,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_snorkel": q_pages_snorkel,
         "pages_eval_snorkel": q_pages_eval_snorkel,
         "pages_corrected": q_pages_corrected,
+        "crowd_gold": q_crowd_gold,
     }
 
 
