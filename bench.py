@@ -3,10 +3,21 @@
 
 Runs on local[$SPARK_GRAFT_CPUS] against $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1). Headline = the end-to-end KG-construction
-pipeline (annotate -> majority-vote -> triples -> link -> canonicalize)
-over the deterministic synthetic pages corpus, plus the HMM fit+decode
-path, the dedup/ANN/text-stats table ops and two relational shapes.
-Also reports pipeline docs/sec (BASELINE.json metric).
+pipeline (annotate -> majority-vote -> entity-correct -> triples ->
+link -> canonicalize, truecase on — the flagship defaults) over the
+deterministic synthetic pages corpus, plus the HMM fit+decode path,
+the dedup/ANN/text-stats table ops and two relational shapes. Also
+reports pipeline docs/sec (BASELINE.json metric).
+
+Self-certifying protocol (round-3 verdict): every query runs
+best-of-N (default 3, $SPARK_GRAFT_BENCH_RUNS) with the 1-minute load
+recorded per query, and the bench WAITS for the box to go idle
+(load_1m < cores/4, up to $SPARK_GRAFT_BENCH_WAIT_S seconds) before
+timing — a loaded box inflates timings up to ~9x (BENCH_r02 recorded
+ann_topk at 15.2 s under load 17.9 vs 1.7 s idle), which made the
+round-2 artifact unable to certify the plans it timed. If the box
+never goes idle the run proceeds but the JSON carries
+"load_warning": true.
 """
 
 from __future__ import annotations
@@ -18,12 +29,96 @@ import sys
 import time
 
 
+def _ann_inputs(entrymod, spark, sf_dir, n_queries=200):
+    from pyspark.sql import functions as F
+
+    emb = entrymod._t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))")
+    )
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return emb, queries
+
+
+# The four ANN rows below run the SAME 200-query workload so the bench
+# isolates the two independent levers:
+#   candidate-set reduction — lsh/ivf prune the corpus before the
+#   (identical JVM) re-rank, vs the jvm brute scan that scores every
+#   (query, corpus) pair;
+#   kernel — the numpy row replaces the per-pair higher-order-function
+#   cosine with one Arrow-batched matmul + map-side partial top-k.
+# At 100 TB both levers multiply; at this toy corpus (2k vectors) the
+# kernel lever can beat the candidate lever outright, which is why both
+# are reported.
+
+def q_ann_brute_jvm(entrymod):
+    def fn(spark, sf_dir):
+        from weak_supervision_for_ner_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        emb, queries = _ann_inputs(entrymod, spark, sf_dir)
+        return brute_force_topk(emb, queries, k=5, kernel="jvm")
+
+    return fn
+
+
+def q_ann_brute_np(entrymod):
+    def fn(spark, sf_dir):
+        from weak_supervision_for_ner_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        emb, queries = _ann_inputs(entrymod, spark, sf_dir)
+        return brute_force_topk(emb, queries, k=5, kernel="numpy")
+
+    return fn
+
+
+def q_ann_lsh_topk(entrymod):
+    def fn(spark, sf_dir):
+        from weak_supervision_for_ner_spark.operators.similarity import lsh_topk
+
+        emb, queries = _ann_inputs(entrymod, spark, sf_dir)
+        return lsh_topk(emb, queries, k=5, n_planes=6, dim=64)
+
+    return fn
+
+
+def q_ann_ivf_topk(entrymod):
+    def fn(spark, sf_dir):
+        from weak_supervision_for_ner_spark.operators.similarity import ivf_topk
+
+        emb, queries = _ann_inputs(entrymod, spark, sf_dir)
+        return ivf_topk(emb, queries, k=5, n_cells=8, nprobe=2, sample_limit=256)
+
+    return fn
+
+
 def main() -> None:
-    load_at_start = round(os.getloadavg()[0], 2)
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_S", "180"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
+
+    # wait for an idle box: timings under load certify nothing
+    load_threshold = float(
+        os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", cores / 4)
+    )
+    waited = 0.0
+    while os.getloadavg()[0] >= load_threshold and waited < max_wait:
+        print(f"# load {os.getloadavg()[0]:.1f} >= {load_threshold:.1f}; "
+              f"waiting for idle box ({waited:.0f}s)", file=sys.stderr)
+        time.sleep(10)
+        waited += 10
+    load_at_start = round(os.getloadavg()[0], 2)
+    load_warning = load_at_start >= load_threshold
+    if load_warning:
+        print(f"# WARNING: box never went idle (load {load_at_start}); "
+              "timings below are inflated and NOT comparable", file=sys.stderr)
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
@@ -44,21 +139,35 @@ def main() -> None:
 
     n_docs = entrymod._n_docs(sf_dir)
     timings: dict[str, float] = {}
+    loads: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
 
     def run(name: str, fn) -> None:
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        loads[name] = round(os.getloadavg()[0], 2)
+        times = []
+        n = None
+        for _ in range(n_runs):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            times.append(round(time.time() - t0, 3))
+        timings[name] = min(times)
+        all_runs[name] = times
+        print(f"# {name}: {n} rows, best {timings[name]}s of {times} "
+              f"(load {loads[name]})", file=sys.stderr)
 
     run("kg_pipeline_mv", entrymod.q_pages_triples)
     run("hmm_fit_decode", entrymod.q_pages_hmm)
     run("mentions_all_sources", entrymod.q_pages_mentions)
     run("dedup_minhash_lsh", entrymod.q_minhash_lsh_pairs)
     run("dedup_ngram_jaccard", entrymod.q_dedup_ngram_jaccard)
+    run("dedup_drop_near", entrymod.q_dedup_drop_near)
     run("simhash_pairs", entrymod.q_simhash)
     run("ann_topk", entrymod.q_ann_topk)
+    run("ann_brute_jvm_200q", q_ann_brute_jvm(entrymod))
+    run("ann_brute_np_200q", q_ann_brute_np(entrymod))
+    run("ann_lsh_topk_200q", q_ann_lsh_topk(entrymod))
+    run("ann_ivf_topk_200q", q_ann_ivf_topk(entrymod))
     run("agg_rollup", entrymod.q_agg_rollup)
     run("join_equi", entrymod.q_join_equi)
     run("events_windowed", entrymod.q_events_windowed)
@@ -66,7 +175,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs / timings["kg_pipeline_mv"], 1)
-    print(json.dumps({
+    out = {
         "metric": "bench_total",
         "value": total,
         "unit": "sec",
@@ -75,11 +184,16 @@ def main() -> None:
         "n_docs": n_docs,
         "kg_docs_per_sec": docs_per_sec,
         "cores": cores,
-        # 1-minute load when the bench STARTED: non-zero means the
-        # sandbox had background load and timings are inflated (the
-        # box's documented noise can double them; see BENCH_SCALING.md).
+        "protocol": f"best-of-{n_runs}, idle-wait<{load_threshold:g}",
+        # per-query 1-minute load right before its first run: any entry
+        # >= cores/4 means that timing was taken on a loaded box
+        "query_loads": loads,
+        "query_runs": all_runs,
         "load_1m_at_start": load_at_start,
-    }))
+    }
+    if load_warning:
+        out["load_warning"] = True
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

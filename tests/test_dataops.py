@@ -325,6 +325,27 @@ def test_drop_near_duplicates(spark, docs):
     assert 4 in kept and 5 in kept       # singletons survive
 
 
+def test_brute_force_kernels_identical(spark):
+    """The Arrow-batched numpy matmul kernel must reproduce the
+    pure-JVM higher-order-function kernel row-for-row (same 6-decimal
+    rounding before ranking, same id tie-break) — on the real fixture,
+    across partitions, including self-match exclusion."""
+    from pyspark.sql import functions as F
+
+    from weak_supervision_for_ner_spark.operators.similarity import brute_force_topk
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("embedding", F.expr("transform(embedding, x -> cast(x as double))"))
+        .repartition(7)
+    )
+    q = emb.filter("vec_id < 8").select(F.col("vec_id").alias("query_id"), "embedding")
+    cols = ["query_id", "neighbor_id", "cosine", "rank"]
+    a = sorted(map(tuple, brute_force_topk(emb, q, k=5, kernel="numpy").select(*cols).collect()))
+    b = sorted(map(tuple, brute_force_topk(emb, q, k=5, kernel="jvm").select(*cols).collect()))
+    assert a == b and len(a) == 8 * 5
+
+
 def test_exact_duplicates_mega_group_is_bounded(spark):
     """A 10k-member byte-identical group (the boilerplate mega-group
     case at 100 TB) must NOT collect 10k ids into one agg buffer: the
