@@ -62,23 +62,41 @@ class TokenTrie:
         Case-insensitive mode tries the exact form first, then
         title/lower/upper alternatives (utils.py:31-42 semantics).
         """
+        alts = (
+            None if case_sensitive
+            else [(t.title(), t.lower(), t.upper()) for t in tokens]
+        )
+        return self.longest_prefix_at(tokens, 0, len(tokens), alts)
+
+    def longest_prefix_at(
+        self, tokens, start: int, stop: int, alts=None
+    ) -> tuple[int, Any]:
+        """Hot-path form of :meth:`longest_prefix`: walks
+        ``tokens[start:stop]`` WITHOUT slicing the list (the scan calls
+        this at every document position), and takes the per-token
+        case alternatives precomputed once per doc (``Doc.alt_forms``)
+        instead of allocating three strings per visited token per
+        uncased gazetteer. ``alts=None`` = case-sensitive."""
         node = self.root
         value = None
         length = 0
-        for i, tok in enumerate(tokens):
-            nxt = node.get(tok)
-            if nxt is None and not case_sensitive:
-                for alt in (tok.title(), tok.lower(), tok.upper()):
+        get = node.get
+        for i in range(start, stop):
+            tok = tokens[i]
+            nxt = get(tok)
+            if nxt is None and alts is not None:
+                for alt in alts[i]:
                     if alt != tok:
-                        nxt = node.get(alt)
+                        nxt = get(alt)
                         if nxt is not None:
                             break
             if nxt is None:
                 break
             node = nxt
+            get = node.get
             if _VALUE in node:
                 value = node[_VALUE]
-                length = i + 1
+                length = i - start + 1
         return length, value
 
     def items(self) -> Iterator[tuple[tuple[str, ...], Any]]:

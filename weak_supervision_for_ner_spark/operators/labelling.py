@@ -48,7 +48,7 @@ class Doc:
     __slots__ = (
         "text", "tokens", "offsets", "lower", "is_punct", "is_title",
         "is_upper", "is_digit", "is_alpha", "sent_start",
-        "likely_proper", "in_compound", "layers",
+        "likely_proper", "in_compound", "layers", "_alt_forms",
     )
 
     def __init__(self, text: str, form_freqs: dict | None = None):
@@ -99,6 +99,18 @@ class Doc:
             for i in range(n)
         ]
         self.layers: dict[str, Layer] = {}
+        self._alt_forms = None
+
+    @property
+    def alt_forms(self) -> list[tuple[str, ...]]:
+        """Per-token (title, lower, upper) alternatives for
+        case-insensitive trie walks, computed once per doc instead of
+        per visited position per uncased gazetteer (4 of them)."""
+        if self._alt_forms is None:
+            self._alt_forms = [
+                (t.title(), t.lower(), t.upper()) for t in self.tokens
+            ]
+        return self._alt_forms
 
     def _likely_proper(self, i: int) -> bool:
         """Casing-based proper-name predicate (annotations.py:1250-1271)."""
@@ -220,18 +232,30 @@ def get_spans(doc: Doc, sources: list[str]) -> set[Span]:
 
 
 def get_overlaps(
-    start: int, end: int, layers: dict[str, Layer], sources=None
+    start: int, end: int, layers: dict[str, Layer], sources=None,
+    sorted_items: dict[str, list] | None = None,
 ) -> list[tuple[int, int, Vals]]:
     """Spans of ``sources`` overlapping [start, end)
     (annotations.py:1333-1348; sorted sweep with early exit instead of
-    the reference's hand-rolled binary search — docs are small)."""
+    the reference's hand-rolled binary search — docs are small).
+
+    ``sorted_items`` (source -> sorted ``layer.items()`` list) lets a
+    caller that probes MANY spans against the same layers (doc_majority
+    does one probe per vote span) hoist the per-layer sort out of the
+    loop; iteration order — and therefore float accumulation order
+    downstream — is identical either way."""
     out = []
     for source in (sources if sources is not None else layers):
-        for iv in sorted(layers.get(source, ())):
+        if sorted_items is not None:
+            items = sorted_items.get(source, ())
+        else:
+            layer = layers.get(source, ())
+            items = sorted(layer.items()) if layer else ()
+        for iv, vals in items:
             if iv[0] >= end:
                 break
             if start < iv[1]:
-                out.append((iv[0], iv[1], layers[source][iv]))
+                out.append((iv[0], iv[1], vals))
     return out
 
 
@@ -496,7 +520,10 @@ def gazetteer_hits(doc: Doc, trie: TokenTrie, case_sensitive: bool, lookahead: i
         if i > 0 and doc.likely_proper[i - 1] and doc.in_compound[i - 1] and doc.in_compound[i]:
             i += 1
             continue
-        length, value = trie.longest_prefix(tokens[i : i + lookahead], case_sensitive)
+        length, value = trie.longest_prefix_at(
+            tokens, i, min(i + lookahead, n),
+            None if case_sensitive else doc.alt_forms,
+        )
         if length:
             if not any(doc.likely_proper[k] for k in range(i, i + length)):
                 i += 1
@@ -615,6 +642,43 @@ def doc_majority(doc: Doc) -> None:
     doc.clear("doc_majority_uncased")
 
     # Weighted label votes per span (exact + overlap-ratio weighted).
+    # A long web page carries hundreds of vote spans, and probing every
+    # span against a from-zero scan of every source layer is O(S^2) —
+    # the dominant cost of the whole annotator DAG on 1k-token docs. So
+    # each source layer is sorted ONCE, and each probe bisects to the
+    # first span that could still overlap (spans at s2 <= start-maxlen
+    # end at e2 <= s2+maxlen <= start). The surviving candidates — and
+    # therefore the float accumulation order — are identical to the
+    # naive scan's.
+    from bisect import bisect_left
+
+    sorted_items = {
+        source: sorted(doc.layers[source].items())
+        for source in DOC_MAJORITY_SOURCES
+        if doc.layers.get(source)
+    }
+    probe_meta = {
+        source: ([iv[0] for iv, _ in items],
+                 max(iv[1] - iv[0] for iv, _ in items))
+        for source, items in sorted_items.items()
+    }
+
+    def _overlapping(start: int, end: int):
+        out = []
+        for source in DOC_MAJORITY_SOURCES:
+            items = sorted_items.get(source)
+            if not items:
+                continue
+            starts_list, maxlen = probe_meta[source]
+            for idx in range(bisect_left(starts_list, start - maxlen + 1),
+                             len(items)):
+                iv, vals = items[idx]
+                if iv[0] >= end:
+                    break
+                if start < iv[1]:
+                    out.append((iv[0], iv[1], vals))
+        return out
+
     span_labels: dict[Span, dict[str, float]] = {}
     for source in DOC_MAJORITY_SOURCES:
         layer = doc.layers.get(source)
@@ -624,7 +688,7 @@ def doc_majority(doc: Doc) -> None:
             acc = span_labels.setdefault((start, end), {})
             for label, conf in vals:
                 acc[label] = acc.get(label, 0.0) + conf
-            for s2, e2, vals2 in get_overlaps(start, end, doc.layers, DOC_MAJORITY_SOURCES):
+            for s2, e2, vals2 in _overlapping(start, end):
                 if (start, end) != (s2, e2):
                     overlap = (min(end, e2) - max(start, s2)) / (end - start)
                     for label2, conf2 in vals2:
@@ -644,14 +708,22 @@ def doc_majority(doc: Doc) -> None:
             acc[label] = acc.get(label, 0.0) + w
 
     # Entities with >= 2 case-insensitive occurrences -> majority label.
+    # Occurrence counting probes only the positions of the entity's
+    # FIRST token (inverted index) instead of sliding over every doc
+    # position per entity — same counts, O(n + hits) instead of O(E*n).
     lower_tokens = tuple(doc.lower)
+    n_tok = len(lower_tokens)
+    pos_by_tok: dict[str, list[int]] = {}
+    for i, t in enumerate(lower_tokens):
+        pos_by_tok.setdefault(t, []).append(i)
     trie = TokenTrie()
     for entity, counts in entity_counts.items():
         ent_lower = tuple(t.lower() for t in entity)
+        elen = len(entity)
         occurrences = sum(
             1
-            for i in range(len(lower_tokens) - len(entity) + 1)
-            if lower_tokens[i : i + len(entity)] == ent_lower
+            for i in pos_by_tok.get(ent_lower[0], ())
+            if i + elen <= n_tok and lower_tokens[i : i + elen] == ent_lower
         )
         majority = max(
             counts,
@@ -660,11 +732,18 @@ def doc_majority(doc: Doc) -> None:
         if occurrences > 1:
             trie.insert(entity, majority)
 
+    if not len(trie):
+        return  # both layers stay empty: no repeated entities in the doc
+
+    n = len(tokens)
     for case_sensitive in (True, False):
         source = "doc_majority_" + ("cased" if case_sensitive else "uncased")
         layer = doc.layers[source]
-        for i in range(len(tokens)):
-            length, label = trie.longest_prefix(tokens[i : i + 8], case_sensitive)
+        for i in range(n):
+            length, label = trie.longest_prefix_at(
+                tokens, i, min(i + 8, n),
+                None if case_sensitive else doc.alt_forms,
+            )
             if label:
                 compatible = True
                 for (s2, e2, _) in get_overlaps(i, i + length, doc.layers, [source]):
