@@ -739,21 +739,34 @@ def doc_majority(doc: Doc) -> None:
     for case_sensitive in (True, False):
         source = "doc_majority_" + ("cased" if case_sensitive else "uncased")
         layer = doc.layers[source]
+        # The scan adds spans in ascending start order with length <= 8
+        # (the lookahead), so the only existing spans that can overlap
+        # position i live in the trailing window start > i-8 — checked
+        # directly instead of re-sorting the growing layer per hit
+        # (which made this loop quadratic in hits on long docs). Same
+        # candidates, same ascending order, same delete/skip decisions
+        # as the get_overlaps form.
+        added: list[Span] = []
         for i in range(n):
             length, label = trie.longest_prefix_at(
                 tokens, i, min(i + 8, n),
                 None if case_sensitive else doc.alt_forms,
             )
             if label:
+                lo = len(added)
+                while lo > 0 and added[lo - 1][0] > i - 8:
+                    lo -= 1
                 compatible = True
-                for (s2, e2, _) in get_overlaps(i, i + length, doc.layers, [source]):
+                for s2, e2 in [sp for sp in added[lo:] if sp[1] > i]:
                     if e2 - s2 < length:
                         del layer[(s2, e2)]
+                        added.remove((s2, e2))
                     else:
                         compatible = False
                         break
                 if compatible:
                     doc.add(source, i, i + length, label)
+                    added.append((i, i + length))
 
 
 # ---------------------------------------------------------------------------
