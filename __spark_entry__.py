@@ -52,6 +52,17 @@ def _n_docs(sf_dir: str) -> int:
 
 
 def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pages corpus. Default: the deterministic in-flight synthetic
+    generator (content = f(doc_id, seed); no external data). With
+    ``SPARK_GRAFT_PAGES_DIR`` set (bench.py sets it after writing the
+    SAME synthetic corpus to parquet once), pages come from a stored
+    table instead — the production shape (the north-rule corpus is an
+    Iceberg TABLE), which also stops every downstream job from paying
+    the corpus-generation python stage again per action."""
+    pages_dir = os.environ.get("SPARK_GRAFT_PAGES_DIR")
+    if pages_dir:
+        return spark.read.parquet(f"{pages_dir}/pages_sf_{_n_docs(sf_dir)}")
+
     from weak_supervision_for_ner_spark.sources.pages import synth_pages
 
     return synth_pages(spark, _n_docs(sf_dir))

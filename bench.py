@@ -130,14 +130,28 @@ def main() -> None:
     # identical, so the sf-scale timings below measure the engine, not
     # one-time Janino compilation).
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    # Materialize the deterministic synthetic corpus to parquet ONCE and
+    # point the pages queries at it: the production corpus is a stored
+    # table (north rule: Iceberg), and reading it keeps the per-action
+    # corpus-generation python stage out of every measured job.
     warm_dir = "/root/testdata/sf0.001"
+    n_docs = entrymod._n_docs(sf_dir)
+    pages_dir = f"/tmp/wsner_bench_pages.{os.getpid()}"
+    from weak_supervision_for_ner_spark.sources.pages import synth_pages
+
+    for nd in (entrymod._n_docs(warm_dir), n_docs):
+        synth_pages(spark, nd).write.mode("overwrite").parquet(
+            f"{pages_dir}/pages_sf_{nd}"
+        )
+    os.environ["SPARK_GRAFT_PAGES_DIR"] = pages_dir
+
     for warm_fn in (entrymod.q_pages_triples, entrymod.q_pages_hmm):
         try:
             warm_fn(spark, warm_dir).count()
         except Exception as exc:  # noqa: BLE001
             print(f"# warmup failed: {exc}", file=sys.stderr)
 
-    n_docs = entrymod._n_docs(sf_dir)
     timings: dict[str, float] = {}
     loads: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
@@ -147,6 +161,10 @@ def main() -> None:
         times = []
         n = None
         for _ in range(n_runs):
+            # each measurement is self-contained: pipeline stage caches
+            # from the previous run (persisted annotated/mentions/linked
+            # tables) must not occupy storage memory for the next one
+            spark.catalog.clearCache()
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()

@@ -72,6 +72,11 @@ def main() -> None:
         mentions.write.mode("overwrite").json(args.mentions_json)
     annotated.unpersist()
     mentions.unpersist()
+    # the canonicalization stage caches its linked-triples input for
+    # the duration of the job (read by the LSH pass and the final
+    # rewrite); everything is written out now, so release all stage
+    # caches before the session moves on
+    spark.catalog.clearCache()
     print(f"graph written to {args.output}: {spark.read.parquet(args.output).count()} triples")
 
 
