@@ -287,3 +287,37 @@ def test_canonicalize_driver_and_distributed_paths_agree(spark, pages_df):
     b = sorted(map(tuple, dist.select(*cols).collect()))
     assert a == b and a
     linked.unpersist()
+
+
+def test_salted_mentions_write_balances_hot_domain(spark, tmp_path):
+    """SURVEY §4 hot-domain skew: 95% of mentions from ONE domain must
+    still spread evenly across the sink's buckets because the salt is
+    the full-url hash, not the domain. Balanced = every output file
+    within 3x the mean row count (a domain-partitioned write would put
+    95% in one file)."""
+    from pyspark.sql import functions as F
+
+    from weak_supervision_for_ner_spark.operators.annotate import write_mentions
+
+    hot = spark.range(1900).selectExpr(
+        "concat('https://hot.example.com/page/', id) AS url",
+        "'src' AS source", "0 AS start", "1 AS end",
+        "'ORG' AS label", "1.0 AS conf", "'x' AS text",
+    )
+    cold = spark.range(100).selectExpr(
+        "concat('https://site', id, '.example.net/p') AS url",
+        "'src' AS source", "0 AS start", "1 AS end",
+        "'ORG' AS label", "1.0 AS conf", "'x' AS text",
+    )
+    out = str(tmp_path / "mentions_skew")
+    write_mentions(hot.unionAll(cold), out, buckets=8)
+
+    per_file = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in per_file]
+    assert len(counts) == 8
+    assert max(counts) <= 3 * (sum(counts) / len(counts))

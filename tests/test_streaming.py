@@ -102,3 +102,41 @@ def test_streaming_stateful_dedup_across_microbatches(spark, tmp_path):
     first = "u1" if not rows["u1"][1] else "u3"
     dup = "u3" if first == "u1" else "u1"
     assert rows[dup][0] == first and rows[first][0] == first
+
+
+def test_streaming_triples_equal_batch(spark, tmp_path):
+    """Continuous KG construction: the fused pages->triples stage under
+    Structured Streaming (append mode) emits exactly the batch raw
+    triples over the same files."""
+    from weak_supervision_for_ner_spark.operators.triples import (
+        extract_triples_direct,
+    )
+    from weak_supervision_for_ner_spark.sources.pages import synth_pages
+    from weak_supervision_for_ner_spark.streaming.ingest import (
+        read_pages_stream,
+        streaming_triples,
+    )
+
+    in_path = str(tmp_path / "pages3")
+    synth_pages(spark, 40, partitions=2).write.parquet(in_path)
+    q = (
+        streaming_triples(read_pages_stream(spark, in_path, max_files=1))
+        .writeStream.format("memory")
+        .queryName("stream_triples")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("select * from stream_triples").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            extract_triples_direct(
+                spark.read.parquet(in_path), correct=True
+            ).collect(),
+        )
+    )
+    assert got == want and got

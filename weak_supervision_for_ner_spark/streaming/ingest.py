@@ -65,6 +65,23 @@ def annotate_pages_with_ts(pages: DataFrame, lang: str = "en") -> DataFrame:
     return selected.mapInPandas(run, schema=schema)
 
 
+def streaming_triples(pages_stream: DataFrame) -> DataFrame:
+    """Continuous KG construction: the SAME maximally-fused
+    pages→annotate→vote→[entity-correct]→SVO stage as the batch graph
+    path, incrementalized by Structured Streaming (stateless narrow
+    stage → append mode). Entity linking composes downstream the same
+    way as batch (broadcast literal map — also stateless); streaming
+    CANONICALIZATION is deliberately out: connected components over an
+    unbounded stream is a batch compaction job over the accumulated
+    sink in this design (run drop/canonicalize periodically), not a
+    per-microbatch operator."""
+    from weak_supervision_for_ner_spark.operators.triples import (
+        extract_triples_direct,
+    )
+
+    return extract_triples_direct(pages_stream, correct=True)
+
+
 def streaming_mention_counts(pages_stream: DataFrame) -> DataFrame:
     """Event-time windowed rollup with late-data watermark: mentions
     per (10-minute window, label)."""
