@@ -367,6 +367,32 @@ def test_exact_duplicates_mega_group_is_bounded(spark):
     assert g["doc_ids"] == list(range(100))           # smallest 100 ids only
 
 
+def test_drop_near_duplicates_mega_group_stays_linear(spark):
+    """5,000 byte-identical docs (the boilerplate mega-bucket case)
+    must produce exactly ONE survivor without ever materializing a
+    quadratic candidate set: the exact pre-collapse removes them before
+    LSH, and star edges keep any residual bucket linear."""
+    from weak_supervision_for_ner_spark.operators.dedup import (
+        drop_near_duplicates,
+        minhash_lsh_star_edges,
+    )
+
+    mega = spark.range(5000).selectExpr(
+        "id AS doc_id",
+        "'the same boilerplate page body here repeated verbatim' AS text",
+    ).union(
+        spark.range(5000, 5002).selectExpr(
+            "id AS doc_id", "concat('unique page ', id, ' body text') AS text"
+        )
+    )
+    kept = sorted(r["doc_id"] for r in drop_near_duplicates(
+        mega, n_hashes=4, bands=2, n=3).collect())
+    assert kept == [0, 5000, 5001]
+    # and the raw star-edge operator itself is linear in the bucket
+    edges = minhash_lsh_star_edges(mega, n_hashes=4, bands=2, n=3).count()
+    assert edges == 4999  # one hub edge per member, not 12.5M pairs
+
+
 def test_connected_components_long_chain_converges(spark):
     """Pointer jumping makes convergence-checked CC O(log diameter):
     a 64-node chain (diameter 63) must converge well inside a 10-round

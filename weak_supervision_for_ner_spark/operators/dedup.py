@@ -398,34 +398,76 @@ def drop_exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataF
     )
 
 
+def minhash_lsh_star_edges(
+    documents: DataFrame, n_hashes: int = 8, bands: int = 4, n: int = 3,
+) -> DataFrame:
+    """Connectivity-preserving LSH candidate edges: per (band, key)
+    bucket, every member links to the bucket's SMALLEST doc_id instead
+    of to every other member. Connected components over these star
+    edges equal components over the full intra-bucket cliques (all
+    members share the hub), but a B-member boilerplate mega-bucket
+    emits B-1 edges instead of B(B-1)/2 — the difference between a
+    window function and an OOM at 100 TB. One shuffle on the band key,
+    no self-join anywhere."""
+    sigs = minhash_signature_table(documents, n_hashes, n)
+    rows_per_band = n_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "#",
+                *[F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)],
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    w = Window.partitionBy("band", "key")
+    return (
+        banded
+        .withColumn("hub", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("hub"))
+        .select(F.col("hub").alias("a"), F.col("doc_id").alias("b"))
+        .distinct()
+    )
+
+
 def drop_near_duplicates(
     documents: DataFrame, n_hashes: int = 8, bands: int = 4, n: int = 3,
     max_rounds: int = 30, text_col: str = "text",
 ) -> DataFrame:
-    """Near-dup corpus filtering: minhash-LSH candidate pairs →
-    connected components (smallest doc_id wins) → keep only component
-    representatives. This is the operator a training-data pipeline
-    actually runs at 100 TB: pairs shuffle once on the band key, the
-    component table is tiny relative to the corpus, and survivors come
-    from one broadcast-able anti-join.
+    """Near-dup corpus filtering: exact-dup pre-collapse → minhash-LSH
+    star edges → connected components (smallest doc_id wins) → keep
+    only component representatives. This is the operator a
+    training-data pipeline actually runs at 100 TB, and every stage is
+    mega-bucket-proof:
 
-    ``max_rounds`` is a SAFETY CAP, not the expected round count:
-    convergence-mode components interleave neighbour-min propagation
-    with pointer jumping, so rounds grow with log2(component diameter)
-    — 30 rounds cover diameters beyond 2^30, i.e. any graph that fits
-    on disk. Real LSH chains converge (and stop, via the zero-change
-    check) in a handful of rounds. Hitting the cap still raises:
-    dropping survivors because propagation stopped early would
+    - byte-identical groups (billions of empty/boilerplate pages)
+      collapse FIRST via one window over the text hash, so they never
+      reach LSH as a bucket of identical signatures — the survivor
+      carries the group (identical text => identical signature =>
+      identical connectivity, so the final survivor set is unchanged);
+    - candidate edges are per-bucket STARS (member -> bucket min),
+      which have the same connected components as the full cliques at
+      O(bucket) instead of O(bucket^2) edges;
+    - components converge in O(log diameter) rounds (pointer jumping).
+
+    ``max_rounds`` is a SAFETY CAP, not the expected round count —
+    30 rounds cover diameters beyond 2^30. Hitting the cap still
+    raises: dropping survivors because propagation stopped early would
     silently lose training data."""
     from weak_supervision_for_ner_spark.operators.triples import connected_components
 
-    pairs = minhash_lsh_pairs(documents, n_hashes, bands, n)
+    collapsed = drop_exact_duplicates(documents, text_col)
+    edges = minhash_lsh_star_edges(collapsed, n_hashes, bands, n)
     # convergence-checked: dropping a survivor because label propagation
     # stopped early would silently lose training data
     components = connected_components(
-        pairs, max_rounds=max_rounds, convergence_check=True
+        edges, max_rounds=max_rounds, convergence_check=True
     )
     losers = components.filter(F.col("name") != F.col("canonical")).select(
         F.col("name").alias("doc_id")
     )
-    return documents.join(losers, "doc_id", "left_anti")
+    return collapsed.join(losers, "doc_id", "left_anti")
