@@ -26,6 +26,10 @@ def main() -> None:
     ap.add_argument("--aggregator", default="majority", choices=["majority", "hmm"])
     ap.add_argument("--hmm-iters", type=int, default=10)
     ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--stage-dir", default=None,
+                    help="durable mid-pipeline resume: committed stage "
+                         "outputs (annotated/mentions parquet) are reused "
+                         "by a re-run instead of recomputed")
     ap.add_argument("--lineage", default=None)
     ap.add_argument("--mentions-out", default=None)
     ap.add_argument("--mentions-json", default=None,
@@ -64,6 +68,7 @@ def main() -> None:
         mentions_consumed=bool(args.mentions_out or args.mentions_json),
         truecase=not args.no_truecase,
         entity_correction=not args.no_entity_correction,
+        stage_dir=args.stage_dir,
     )
     write_graph(graph, args.output)
     if args.mentions_out:

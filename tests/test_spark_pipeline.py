@@ -321,3 +321,46 @@ def test_salted_mentions_write_balances_hot_domain(spark, tmp_path):
     counts = [r["count"] for r in per_file]
     assert len(counts) == 8
     assert max(counts) <= 3 * (sum(counts) / len(counts))
+
+
+def test_stage_dir_resumes_mid_pipeline(spark, tmp_path):
+    """Durable mid-pipeline resume (north_rule): with stage_dir set,
+    committed annotated/mentions stages are REUSED by a re-run — proven
+    by swapping the input for a garbage corpus and still getting the
+    byte-identical graph — and the stage-durable run's graph equals the
+    plain in-memory run's."""
+    import json
+
+    pages = synth_pages(spark, 80, partitions=3).persist()
+    stage = str(tmp_path / "stages")
+    lineage1 = str(tmp_path / "l1.json")
+    _, _, g_plain = run_kg_pipeline(spark, pages, aggregator="majority")
+    _, _, g_staged = run_kg_pipeline(
+        spark, pages, aggregator="majority",
+        stage_dir=stage, lineage_path=lineage1,
+    )
+    cols = sorted(g_plain.columns)
+    plain = sorted(map(tuple, g_plain.select(*cols).collect()))
+    staged = sorted(map(tuple, g_staged.select(*cols).collect()))
+    assert staged == plain and staged
+    with open(lineage1) as fd:
+        stages1 = [r["stage"] for r in json.load(fd)]
+    assert "stage_commit_annotated" in stages1
+    assert "stage_commit_mentions" in stages1
+
+    # re-run over GARBAGE input: only a true resume can reproduce the graph
+    garbage = synth_pages(spark, 5, partitions=1).selectExpr(
+        "url", "warc_ts", "html", "'nothing here' AS text", "lang"
+    )
+    lineage2 = str(tmp_path / "l2.json")
+    _, _, g_resumed = run_kg_pipeline(
+        spark, garbage, aggregator="majority",
+        stage_dir=stage, lineage_path=lineage2,
+    )
+    resumed = sorted(map(tuple, g_resumed.select(*cols).collect()))
+    assert resumed == plain
+    with open(lineage2) as fd:
+        stages2 = [r["stage"] for r in json.load(fd)]
+    assert "stage_resume_annotated" in stages2
+    assert "stage_resume_mentions" in stages2
+    assert "truecase_dict_resumed" in stages2

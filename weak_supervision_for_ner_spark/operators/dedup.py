@@ -19,6 +19,15 @@ Variants:
 Scale notes: every pipeline shuffles once on the blocking key
 (hash / shingle / band / bucket); frequent-shingle blocking keys are
 capped to avoid quadratic mega-buckets (documented drop counters).
+
+PAIR-form vs FILTER-form: the ``*_pairs`` operators REPORT candidate/
+duplicate pairs, which is inherently quadratic in the size of an
+identical-document group — run ``drop_exact_duplicates`` first on
+corpora that may contain byte-identical mega-groups. The corpus-
+filtering forms (``drop_exact_duplicates`` / ``drop_near_duplicates``)
+do that collapse internally and use star edges, so they never
+materialize a quadratic intermediate; they are the operators to run at
+100 TB.
 """
 
 from __future__ import annotations

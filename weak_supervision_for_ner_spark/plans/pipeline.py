@@ -23,6 +23,7 @@ from weak_supervision_for_ner_spark.operators.annotate import (
 from weak_supervision_for_ner_spark.operators.hmm import HMMAggregator
 from weak_supervision_for_ner_spark.operators.triples import (
     canonicalize_triples,
+    extract_triples,
     extract_triples_direct,
     extract_triples_fused,
     extract_triples_hmm_fused,
@@ -69,6 +70,23 @@ def stage_metrics(annotated: DataFrame) -> DataFrame:
     )
 
 
+def _stage_materialize(
+    spark: SparkSession, stage_dir: str, name: str, df: DataFrame,
+    lineage: "Lineage",
+) -> DataFrame:
+    """Durable stage checkpoint: write-once parquet keyed by the
+    parquet _SUCCESS commit marker; an already-committed stage is read
+    back instead of recomputed. (Local-FS check — swap for the Hadoop
+    FileSystem API when stage_dir is on HDFS/S3.)"""
+    path = os.path.join(stage_dir, name)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        lineage.stage(f"stage_resume_{name}")
+    else:
+        df.write.mode("overwrite").parquet(path)
+        lineage.stage(f"stage_commit_{name}")
+    return spark.read.parquet(path)
+
+
 def run_kg_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -81,6 +99,7 @@ def run_kg_pipeline(
     truecase: bool = True,
     entity_correction: bool = True,
     form_freqs: dict | None = None,
+    stage_dir: str | None = None,
 ):
     """pages -> (annotated, mentions, graph) DataFrames.
 
@@ -106,6 +125,16 @@ def run_kg_pipeline(
     instead of the pages-fused stage, which is fastest when the graph
     is the only output but would re-run the 35-function labelling
     stage if annotated is also materialized.
+
+    ``stage_dir``: durable MID-PIPELINE resume (north_rule). Each major
+    stage output (annotated, mentions) is written to
+    ``{stage_dir}/{stage}`` as parquet on first completion; a re-run
+    finds the committed stage (parquet _SUCCESS marker) and READS it
+    instead of recomputing — so a job that died during canonicalization
+    restarts without re-running the labelling or aggregation stages at
+    all (the HMM additionally resumes EM mid-training from
+    ``checkpoint_dir``). Stage files are the job's own durable
+    checkpoints; clean them up after the final sink commits.
     """
     lineage = Lineage(lineage_path)
 
@@ -114,31 +143,66 @@ def run_kg_pipeline(
             collect_form_frequency_dict,
         )
 
-        form_freqs = collect_form_frequency_dict(
-            pages.filter(F.col("lang") == "en").select("url", "text")
-        )
-        lineage.stage("truecase_dict", n_forms=len(form_freqs))
+        ff_path = os.path.join(stage_dir, "form_freqs.json") if stage_dir else None
+        if ff_path and os.path.exists(ff_path):
+            with open(ff_path) as fd:
+                form_freqs = json.load(fd)
+            lineage.stage("truecase_dict_resumed", n_forms=len(form_freqs))
+        else:
+            form_freqs = collect_form_frequency_dict(
+                pages.filter(F.col("lang") == "en").select("url", "text")
+            )
+            if ff_path:
+                os.makedirs(stage_dir, exist_ok=True)
+                with open(ff_path, "w") as fd:
+                    json.dump(form_freqs, fd)
+            lineage.stage("truecase_dict", n_forms=len(form_freqs))
 
     # The annotated table feeds the aggregator AND (on the hmm/reuse
-    # paths) the triple extraction; persist it so labelling runs once.
-    annotated = annotate_pages(pages, form_freqs=form_freqs).persist()
-    if aggregator == "hmm":
+    # paths) the triple extraction; persist it so labelling runs once —
+    # durably (stage parquet) when resumability is requested, else in
+    # executor storage.
+    annotated = annotate_pages(pages, form_freqs=form_freqs)
+    mentions_resumed = False
+    if stage_dir:
+        annotated = _stage_materialize(spark, stage_dir, "annotated", annotated, lineage)
+        mentions_resumed = os.path.exists(
+            os.path.join(stage_dir, "mentions", "_SUCCESS")
+        )
+    else:
+        annotated = annotated.persist()
+
+    model = None
+    if aggregator == "hmm" and not mentions_resumed:
         model = HMMAggregator(n_iter=hmm_iters)
         model.fit_spark(spark, annotated, checkpoint_dir=checkpoint_dir, resume=True)
         mentions = model.decode_spark(spark, annotated)
         lineage.stage("hmm_fit", annotated, iterations=len(model.history),
                       logprob=model.history[-1] if model.history else None)
+    elif aggregator == "hmm":
+        mentions = None  # read below from the committed stage
     else:
         mentions = majority_voter_mentions(annotated)
-    mentions = mentions.persist()
+    if stage_dir:
+        if mentions is None:  # hmm path resuming a committed stage
+            mentions = spark.read.parquet(os.path.join(stage_dir, "mentions"))
+            lineage.stage("stage_resume_mentions")
+        else:
+            mentions = _stage_materialize(spark, stage_dir, "mentions", mentions, lineage)
+    else:
+        mentions = mentions.persist()
     lineage.stage("aggregate", mentions)
 
-    if aggregator == "hmm":
+    if aggregator == "hmm" and model is not None and not stage_dir:
         # decode-fused: Viterbi + SVO in one Arrow stage over the
         # persisted annotated table — no mentions join on the graph path
         raw_triples = extract_triples_hmm_fused(
             annotated, model, correct=entity_correction
         )
+    elif aggregator == "hmm" or stage_dir:
+        # resumed (or stage-durable) runs extract from the committed
+        # mention/annotated stages: one co-partitioned join, no re-fit
+        raw_triples = extract_triples(annotated, mentions, correct=entity_correction)
     elif mentions_consumed or with_metrics:
         # annotated gets materialized anyway — reuse its cache so the
         # labelling stage executes exactly once end-to-end
