@@ -291,6 +291,16 @@ def q_dedup_drop_exact(spark, sf_dir):
     return drop_exact_duplicates(_t(spark, sf_dir, "documents")).select("doc_id")
 
 
+def q_dedup_star_edges(spark, sf_dir):
+    """Connectivity-preserving LSH candidate edges (member -> bucket
+    min): the mega-bucket-proof edge set drop_near_duplicates feeds to
+    connected components — O(bucket) edges with the same components as
+    the full intra-bucket cliques."""
+    from weak_supervision_for_ner_spark.operators.dedup import minhash_lsh_star_edges
+
+    return minhash_lsh_star_edges(_t(spark, sf_dir, "documents"), n_hashes=4, bands=2, n=3)
+
+
 def q_dedup_drop_near(spark, sf_dir):
     """Corpus-filtering near dedup: minhash-LSH pairs -> connected
     components -> survivors. The oracle recomputes the components with
@@ -786,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_drop_exact": q_dedup_drop_exact,
         "dedup_drop_near": q_dedup_drop_near,
+        "dedup_star_edges": q_dedup_star_edges,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -957,6 +968,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
         FROM banded l JOIN banded r
           ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    """
+
+    sql["dedup_star_edges"] = _shingles + """
+        , sigs AS (
+            SELECT doc_id,
+                   MIN(md5('0|' || shingle)) AS h0, MIN(md5('1|' || shingle)) AS h1,
+                   MIN(md5('2|' || shingle)) AS h2, MIN(md5('3|' || shingle)) AS h3
+            FROM sh GROUP BY doc_id),
+        banded AS (
+            SELECT doc_id, 0 AS band, h0 || '#' || h1 AS key FROM sigs
+            UNION ALL
+            SELECT doc_id, 1 AS band, h2 || '#' || h3 AS key FROM sigs),
+        hubbed AS (
+            SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band, key) AS hub
+            FROM banded)
+        SELECT DISTINCT hub AS a, doc_id AS b FROM hubbed WHERE doc_id != hub
     """
 
     sql["dedup_drop_exact"] = """

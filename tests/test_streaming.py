@@ -140,3 +140,47 @@ def test_streaming_triples_equal_batch(spark, tmp_path):
         )
     )
     assert got == want and got
+
+
+def test_streaming_compaction_matches_batch_graph(spark, tmp_path):
+    """Stream-append raw triples, then the periodic batch compaction:
+    the finalized graph must equal running the batch pipeline over the
+    same pages (same linking, same canonical ids, same dedup)."""
+    import json
+
+    from weak_supervision_for_ner_spark.plans.pipeline import run_kg_pipeline
+    from weak_supervision_for_ner_spark.sources.pages import synth_pages
+    from weak_supervision_for_ner_spark.streaming.ingest import (
+        finalize_streaming_graph,
+        read_pages_stream,
+        streaming_triples,
+    )
+
+    in_path = str(tmp_path / "pages4")
+    pages = synth_pages(spark, 60, partitions=2).persist()
+    pages.write.parquet(in_path)
+    raw_sink = str(tmp_path / "raw_triples")
+    q = (
+        streaming_triples(read_pages_stream(spark, in_path, max_files=1))
+        .writeStream.format("parquet").option("path", raw_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    out = str(tmp_path / "graph4")
+    lineage = str(tmp_path / "compaction.json")
+    n = finalize_streaming_graph(spark, raw_sink, out, lineage_path=lineage)
+
+    # batch truth over the same pages: truecase off (the stream stage
+    # has no corpus dictionary), correction on (streaming_triples does)
+    _, _, g_batch = run_kg_pipeline(spark, pages, truecase=False)
+    cols = sorted(g_batch.columns)
+    batch = sorted(map(tuple, g_batch.select(*cols).collect()))
+    compacted = sorted(
+        map(tuple, spark.read.parquet(out).select(*cols).collect())
+    )
+    assert compacted == batch and n == len(batch) and n > 0
+    with open(lineage) as fd:
+        rec = json.load(fd)
+    assert rec["edges"] == n and "unconverged_labels" in rec

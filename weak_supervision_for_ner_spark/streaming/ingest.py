@@ -82,6 +82,41 @@ def streaming_triples(pages_stream: DataFrame) -> DataFrame:
     return extract_triples_direct(pages_stream, correct=True)
 
 
+def finalize_streaming_graph(
+    spark: SparkSession, raw_triples_path: str, out_path: str,
+    lineage_path: str | None = None,
+) -> int:
+    """The periodic BATCH compaction that completes the streaming KG
+    loop: read the raw-triples sink that ``streaming_triples`` appends
+    to, run the batch linking → minhash-LSH canonicalization → graph
+    materialize over the accumulated table, and overwrite the serving
+    graph. Stream appends stay cheap and stateless; global decisions
+    (canonical ids, cross-document dedup of edges) are recomputed over
+    the full accumulated corpus where connected components is a sound
+    batch job. Returns the number of edges in the finalized graph."""
+    import json as _json
+
+    from weak_supervision_for_ner_spark.operators.triples import (
+        canonicalize_triples,
+        link_entities,
+        materialize_graph,
+        write_graph,
+    )
+
+    raw = spark.read.parquet(raw_triples_path)
+    stats: dict = {}
+    graph = materialize_graph(
+        canonicalize_triples(spark, link_entities(spark, raw), stats=stats)
+    )
+    write_graph(graph, out_path)
+    n = spark.read.parquet(out_path).count()
+    if lineage_path:
+        with open(lineage_path, "w") as fd:
+            _json.dump({"stage": "streaming_compaction", "edges": n, **stats}, fd)
+    spark.catalog.clearCache()
+    return n
+
+
 def streaming_mention_counts(pages_stream: DataFrame) -> DataFrame:
     """Event-time windowed rollup with late-data watermark: mentions
     per (10-minute window, label)."""
