@@ -687,6 +687,24 @@ def q_pages_eval_corrected(spark, sf_dir):
     return evaluate_mentions(gold, pred, mappings=CONLL_MAPPINGS, keep=CONLL_TO_RETAIN)
 
 
+def q_distill_dataset(spark, sf_dir):
+    """NER-distillation dataset prep (reference ner.py:327-392): the
+    corpus-derived vocabulary + per-doc (token_ids, BILUO tags) example
+    table from the aggregated layer — everything upstream of the
+    neural trainer, which is the part a Spark engine owns. Rows-only;
+    exact tag/vocab semantics pinned by tests/test_distill.py."""
+    from weak_supervision_for_ner_spark.operators.aggregate import majority_voter_mentions
+    from weak_supervision_for_ner_spark.operators.annotate import annotate_pages
+    from weak_supervision_for_ner_spark.operators.distill import (
+        build_vocabulary,
+        distillation_examples,
+    )
+
+    annotated = annotate_pages(_pages(spark, sf_dir)).persist()
+    vocab = build_vocabulary(annotated)
+    return distillation_examples(annotated, majority_voter_mentions(annotated), vocab)
+
+
 def q_crowd_gold(spark, sf_dir):
     """Crowd-gold loader (reference analysis.py:213-301): records are
     derived deterministically from the corpus' own first sentences
@@ -827,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_corrected": q_pages_corrected,
         "pages_eval_corrected": q_pages_eval_corrected,
         "crowd_gold": q_crowd_gold,
+        "distill_dataset": q_distill_dataset,
     }
 
 
