@@ -406,3 +406,21 @@ def test_connected_components_long_chain_converges(spark):
     got = {r["name"]: r["canonical"] for r in labels.collect()}
     assert set(got.values()) == {"n000"}
     assert len(got) == 64
+
+
+def test_numpy_brute_force_plan_is_scan_only(spark):
+    """The numpy-kernel exact ANN must be a single narrow scan + final
+    window — no join operator of any kind in the executed plan (the
+    query matrix travels as a broadcast VARIABLE, not a join side)."""
+    from pyspark.sql import functions as F
+
+    from weak_supervision_for_ner_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))")
+    )
+    q = emb.filter("vec_id < 4").select(F.col("vec_id").alias("query_id"), "embedding")
+    df = brute_force_topk(emb, q, k=3, kernel="numpy")
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan
