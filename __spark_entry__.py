@@ -720,8 +720,11 @@ def q_crowd_gold(spark, sf_dir):
     )
 
     pages = _pages(spark, sf_dir)
+    # compute the tokenizing sentence pass ONCE and share it between
+    # the record derivation and the loader's join side
+    sents = sentence_table(pages).persist()
     records = (
-        sentence_table(pages)
+        sents
         .filter((F.col("sent_idx") == 0) & (F.length("sent_text") > 0))
         .select(
             F.col("sent_text").alias("original_text"),
@@ -733,7 +736,7 @@ def q_crowd_gold(spark, sf_dir):
         )
         .distinct()
     )
-    return load_crowd_gold(records, pages)
+    return load_crowd_gold(records, pages, sentences=sents)
 
 
 def q_pages_snorkel(spark, sf_dir):

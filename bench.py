@@ -137,7 +137,9 @@ def main() -> None:
     # corpus-generation python stage out of every measured job.
     warm_dir = "/root/testdata/sf0.001"
     n_docs = entrymod._n_docs(sf_dir)
-    pages_dir = f"/tmp/wsner_bench_pages.{os.getpid()}"
+    # fixed path + overwrite: repeated bench runs REUSE the fixture
+    # location instead of leaking one corpus-sized tree per invocation
+    pages_dir = "/tmp/wsner_bench_pages"
     from weak_supervision_for_ner_spark.sources.pages import synth_pages
 
     for nd in (entrymod._n_docs(warm_dir), n_docs):

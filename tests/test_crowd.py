@@ -101,3 +101,13 @@ def test_crowd_gold_composes_with_evaluate_mentions(spark, pages):
     micro = evaluate_mentions(gold, pred).filter("label = 'micro'").collect()[0]
     assert micro["entity_precision"] == pytest.approx(0.5, abs=1e-6)
     assert micro["entity_recall"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_malformed_crowd_chunks_dropped_not_fatal(spark, pages):
+    """Human-entered annotated_text with malformed chunks ('per/son',
+    'abc-x/org') must drop those chunks like misaligned spans, not kill
+    the Spark stage; well-formed chunks in the same record survive."""
+    got = load(spark, pages, [
+        ("Acme Corp acquired Initech .", "per/son abc-x/org 19-25/org 3/loc"),
+    ])
+    assert got == [("https://a.example.com/1", 3, 4, "ORG")]

@@ -424,3 +424,20 @@ def test_numpy_brute_force_plan_is_scan_only(spark):
     df.count()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_drop_near_duplicates_honors_text_col(spark):
+    """text_col must reach BOTH the exact pre-collapse and the LSH
+    stage (regression: the shingling used to hard-code 'text')."""
+    from weak_supervision_for_ner_spark.operators.dedup import drop_near_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat today"),
+         (2, "the cat sat on the mat today"),
+         (3, "something else entirely different here")],
+        "doc_id long, body string",
+    )
+    kept = {r["doc_id"] for r in
+            drop_near_duplicates(docs, n_hashes=4, bands=2, n=3,
+                                 text_col="body").collect()}
+    assert kept == {1, 3}

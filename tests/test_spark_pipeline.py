@@ -364,3 +364,48 @@ def test_stage_dir_resumes_mid_pipeline(spark, tmp_path):
     assert "stage_resume_annotated" in stages2
     assert "stage_resume_mentions" in stages2
     assert "truecase_dict_resumed" in stages2
+
+
+def test_stage_dir_rejects_config_mismatch(spark, tmp_path):
+    """A stage_dir committed under one configuration must refuse to
+    resume under another (silent stale-stage reuse would return the old
+    config's results under the new run's name)."""
+    pages = synth_pages(spark, 30, partitions=2)
+    stage = str(tmp_path / "stages_cfg")
+    _, _, g = run_kg_pipeline(spark, pages, aggregator="majority", stage_dir=stage)
+    g.count()
+    with pytest.raises(ValueError, match="stage_dir"):
+        run_kg_pipeline(spark, pages, aggregator="hmm", stage_dir=stage)
+    with pytest.raises(ValueError, match="stage_dir"):
+        run_kg_pipeline(spark, pages, truecase=False, stage_dir=stage)
+
+
+def test_stale_registry_checkpoint_triggers_retrain(spark, tmp_path):
+    """A checkpoint written under an older SOURCE_NAMES registry (wrong
+    emission-tensor shape) must be skipped with a warning and the model
+    retrained — not crash with an IndexError mid-fit."""
+    import numpy as np
+
+    from weak_supervision_for_ner_spark.operators.hmm import HMMAggregator
+
+    annotated = annotate_pages(synth_pages(spark, 30, partitions=2)).persist()
+    ckpt = str(tmp_path / "ckpt_stale")
+    model = HMMAggregator(n_iter=1)
+    model.fit_spark(spark, annotated, checkpoint_dir=ckpt)
+
+    # corrupt the latest checkpoint into an "old registry" shape
+    import glob
+    latest = sorted(glob.glob(ckpt + "/iter_*.npz"))[-1]
+    data = dict(np.load(latest))
+    data["emission_probs"] = data["emission_probs"][:-1]   # one source fewer
+    np.savez(latest[:-4], **data)
+
+    resumed = HMMAggregator(n_iter=1)
+    resumed.fit_spark(spark, annotated, checkpoint_dir=str(tmp_path / "other"),
+                      resume=False)  # sanity: fresh fit still works
+    retrained = HMMAggregator(n_iter=1)
+    retrained.fit_spark(spark, annotated, checkpoint_dir=ckpt, resume=True)
+    # the stale checkpoint was ignored: a full iteration ran fresh
+    assert len(retrained.history) == 1
+    assert retrained.emission_probs.shape == model.emission_probs.shape
+    annotated.unpersist()

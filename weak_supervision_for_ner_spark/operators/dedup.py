@@ -124,11 +124,11 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature_table(
-    documents: DataFrame, n_hashes: int = 8, n: int = 3
+    documents: DataFrame, n_hashes: int = 8, n: int = 3, text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, h0..h{k-1}) — each h_i = MIN(md5(i || shingle)), a
     string-valued minhash that DuckDB reproduces bit-for-bit."""
-    sh = word_shingles(documents, n)
+    sh = word_shingles(documents, n, text_col)
     aggs = [
         F.min(F.md5(F.concat(F.lit(str(i)), F.lit("|"), F.col("shingle")))).alias(f"h{i}")
         for i in range(n_hashes)
@@ -138,11 +138,11 @@ def minhash_signature_table(
 
 def minhash_lsh_pairs(
     documents: DataFrame, n_hashes: int = 8, bands: int = 4, n: int = 3,
-    verify_threshold: float | None = None,
+    verify_threshold: float | None = None, text_col: str = "text",
 ) -> DataFrame:
     """Near-dup candidate pairs: band the minhash signature, groupBy
     (band, key), intra-bucket pairs. Optional exact-Jaccard verify."""
-    sigs = minhash_signature_table(documents, n_hashes, n)
+    sigs = minhash_signature_table(documents, n_hashes, n, text_col)
     rows_per_band = n_hashes // bands
     # single-pass banding: per-band keys become an array column that is
     # exploded — a bands-way union would re-read (or at best
@@ -409,6 +409,7 @@ def drop_exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataF
 
 def minhash_lsh_star_edges(
     documents: DataFrame, n_hashes: int = 8, bands: int = 4, n: int = 3,
+    text_col: str = "text",
 ) -> DataFrame:
     """Connectivity-preserving LSH candidate edges: per (band, key)
     bucket, every member links to the bucket's SMALLEST doc_id instead
@@ -418,7 +419,7 @@ def minhash_lsh_star_edges(
     emits B-1 edges instead of B(B-1)/2 — the difference between a
     window function and an OOM at 100 TB. One shuffle on the band key,
     no self-join anywhere."""
-    sigs = minhash_signature_table(documents, n_hashes, n)
+    sigs = minhash_signature_table(documents, n_hashes, n, text_col)
     rows_per_band = n_hashes // bands
     band_structs = [
         F.struct(
@@ -470,7 +471,7 @@ def drop_near_duplicates(
     from weak_supervision_for_ner_spark.operators.triples import connected_components
 
     collapsed = drop_exact_duplicates(documents, text_col)
-    edges = minhash_lsh_star_edges(collapsed, n_hashes, bands, n)
+    edges = minhash_lsh_star_edges(collapsed, n_hashes, bands, n, text_col)
     # convergence-checked: dropping a survivor because label propagation
     # stopped early would silently lose training data
     components = connected_components(

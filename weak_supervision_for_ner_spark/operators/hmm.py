@@ -387,6 +387,19 @@ class HMMAggregator:
 
     def load(self, path: str) -> "HMMAggregator":
         data = np.load(path if path.endswith(".npz") else path + ".npz")
+        got = data["emission_probs"].shape
+        want = (N_SOURCES, N_STATES, N_STATES)
+        if tuple(got) != want:
+            # the source/label registry changed since this checkpoint
+            # was written (e.g. a new plug-in source): resuming would
+            # index the emission tensor out of bounds MID-FIT — fail
+            # here with the reason instead
+            raise ValueError(
+                f"checkpoint {path!r} has emission shape {tuple(got)} but the "
+                f"current registry needs {want} (schema.SOURCE_NAMES/LABELS "
+                "changed since it was written); delete stale checkpoints to "
+                "retrain under the new registry"
+            )
         self.startprob_prior = data["startprob_prior"]
         self.startprob_ = data["startprob"]
         self.transmat_prior = data["transmat_prior"]
@@ -435,8 +448,17 @@ class HMMAggregator:
         if resume and checkpoint_dir:
             latest = _latest_checkpoint(checkpoint_dir)
             if latest is not None:
-                self.load(latest[1])
-                start_iter = latest[0] + 1
+                try:
+                    self.load(latest[1])
+                    start_iter = latest[0] + 1
+                except ValueError as exc:
+                    # registry-shape mismatch (load() validates): a
+                    # checkpoint from an older SOURCE_NAMES/LABELS
+                    # registry cannot be resumed — retrain from scratch
+                    # instead of failing the job
+                    logging.getLogger(__name__).warning(
+                        "ignoring incompatible checkpoint and retraining: %s", exc
+                    )
 
         if self.startprob_ is None:
             counts = _collect_prior_counts(

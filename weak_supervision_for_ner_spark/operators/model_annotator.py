@@ -50,8 +50,11 @@ def annotate_with_model(
     corrected_name = source_name + "+c"
     if with_corrected and corrected_name not in SOURCE_INDICES:
         raise ValueError(
-            f"source {corrected_name!r} is not registered in schema.SOURCE_NAMES; "
-            "register the corrected layer alongside the raw one"
+            f"source {corrected_name!r} is not registered in schema.SOURCE_NAMES: "
+            "with_corrected=True (the default, mirroring the reference's "
+            "source + source+c pair) needs the corrected layer registered "
+            "alongside the raw one — add it there, or pass "
+            "with_corrected=False to emit only the raw layer"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

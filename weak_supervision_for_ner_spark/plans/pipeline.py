@@ -138,6 +138,32 @@ def run_kg_pipeline(
     """
     lineage = Lineage(lineage_path)
 
+    if stage_dir:
+        # Stage outputs are only valid for the configuration that
+        # produced them: a re-run with a different aggregator or
+        # truecase/correction setting silently reading stale stages
+        # would return the OLD run's results under the new run's name.
+        fingerprint = {
+            "aggregator": aggregator, "truecase": truecase,
+            "entity_correction": entity_correction, "hmm_iters": hmm_iters,
+        }
+        fp_path = os.path.join(stage_dir, "pipeline_config.json")
+        if os.path.exists(fp_path):
+            with open(fp_path) as fd:
+                committed = json.load(fd)
+            if committed != fingerprint:
+                raise ValueError(
+                    f"stage_dir {stage_dir!r} holds stages committed by a run "
+                    f"with config {committed}, but this run asks for "
+                    f"{fingerprint}; resuming would silently return the old "
+                    "configuration's results — clear the stage_dir or match "
+                    "the original flags"
+                )
+        else:
+            os.makedirs(stage_dir, exist_ok=True)
+            with open(fp_path, "w") as fd:
+                json.dump(fingerprint, fd)
+
     if truecase and form_freqs is None:
         from weak_supervision_for_ner_spark.operators.textstats import (
             collect_form_frequency_dict,
@@ -193,9 +219,13 @@ def run_kg_pipeline(
         mentions = mentions.persist()
     lineage.stage("aggregate", mentions)
 
-    if aggregator == "hmm" and model is not None and not stage_dir:
+    if (aggregator == "hmm" and model is not None and not stage_dir
+            and not mentions_consumed):
         # decode-fused: Viterbi + SVO in one Arrow stage over the
-        # persisted annotated table — no mentions join on the graph path
+        # persisted annotated table — no mentions join on the graph
+        # path. Only when the decoded mentions are NOT also being
+        # materialized: a caller exporting mentions would otherwise pay
+        # the corpus Viterbi twice (once fused, once for the export).
         raw_triples = extract_triples_hmm_fused(
             annotated, model, correct=entity_correction
         )

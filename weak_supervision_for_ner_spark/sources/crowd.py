@@ -112,10 +112,16 @@ def parse_annotated_text(
     for chunk in annotated_text.split():
         if "/" not in chunk:
             continue
-        label = chunk.split("/")[1].upper()
-        label = "DATE" if label == "DATETIME" else label
-        char_start = int(chunk.split("-")[0])
-        char_end = int(chunk.split("-")[1].split("/")[0]) + 1
+        # human-entered data: a malformed chunk ("per/son", "abc-x/org")
+        # is DROPPED like a misaligned span, never allowed to kill the
+        # whole Spark stage
+        try:
+            label = chunk.split("/")[1].upper()
+            label = "DATE" if label == "DATETIME" else label
+            char_start = int(chunk.split("-")[0])
+            char_end = int(chunk.split("-")[1].split("/")[0]) + 1
+        except (ValueError, IndexError):
+            continue
         if char_start not in starts or char_end not in ends:
             continue  # misaligned span: dropped like char_span -> None
         start, end = starts[char_start], ends[char_end]
@@ -130,14 +136,19 @@ def parse_annotated_text(
     return spans
 
 
-def load_crowd_gold(crowd: DataFrame, pages: DataFrame) -> DataFrame:
+def load_crowd_gold(
+    crowd: DataFrame, pages: DataFrame, sentences: DataFrame | None = None
+) -> DataFrame:
     """Crowd records (original_text, annotated_text) -> gold mention
     table (url, start, end, label, conf=1.0) in doc token coordinates.
 
     The corpus side shuffles once (sentence-text dedup window); the
     crowd table is broadcast — it is human-annotated and therefore
-    tiny relative to any corpus worth evaluating on."""
-    sents = sentence_table(pages)
+    tiny relative to any corpus worth evaluating on. Pass a
+    precomputed ``sentence_table(pages)`` via ``sentences`` when the
+    caller already has one (deriving records from the corpus itself),
+    so the tokenizing sentence pass runs once, not twice."""
+    sents = sentence_table(pages) if sentences is None else sentences
     w = Window.partitionBy(F.trim(F.col("sent_text"))).orderBy("url", "sent_idx")
     uniq = (
         sents.withColumn("_rn", F.row_number().over(w))
