@@ -409,3 +409,33 @@ def test_stale_registry_checkpoint_triggers_retrain(spark, tmp_path):
     assert len(retrained.history) == 1
     assert retrained.emission_probs.shape == model.emission_probs.shape
     annotated.unpersist()
+
+
+def test_cli_stage_dir_flag(spark, tmp_path, monkeypatch):
+    """--stage-dir through the spark-submit entry point: first run
+    commits stages, second run resumes them (lineage proves it)."""
+    import json
+    import sys
+
+    from jobs.run_pipeline import main
+
+    stage = str(tmp_path / "cli_stages")
+
+    def run(n):
+        lineage = str(tmp_path / f"cli_l{n}.json")
+        monkeypatch.setattr(sys, "argv", [
+            "run_pipeline.py", "--input", "synth:30",
+            "--output", str(tmp_path / f"cli_graph{n}"),
+            "--stage-dir", stage, "--lineage", lineage,
+        ])
+        main()
+        with open(lineage) as fd:
+            return [r["stage"] for r in json.load(fd)]
+
+    first = run(1)
+    second = run(2)
+    assert "stage_commit_annotated" in first
+    assert "stage_resume_annotated" in second and "stage_resume_mentions" in second
+    a = spark.read.parquet(str(tmp_path / "cli_graph1")).count()
+    b = spark.read.parquet(str(tmp_path / "cli_graph2")).count()
+    assert a == b > 0
