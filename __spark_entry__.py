@@ -254,14 +254,19 @@ def q_dedup_exact(spark, sf_dir):
     would compare two empty sets (a vacuous green). The prefix
     fingerprint yields real groups at every sf, and ``id_sample_cap=2``
     makes the bounded-members contract itself oracle-checked: the
-    size-3 group reports n_docs=3 with only its 2 smallest ids."""
+    size-3 group reports n_docs=3 with only its 2 smallest ids.
+    ``doc_ids`` is projected to a comma-joined STRING: the driver's
+    pandas canonicalizer cannot sort/hash list cells (the r3 ERROR),
+    and DuckDB reproduces the encoding with array_to_string."""
     from weak_supervision_for_ner_spark.operators.dedup import exact_duplicates
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, 40).alias("prefix")
     )
     return exact_duplicates(docs, text_col="prefix", id_sample_cap=2).select(
-        "text_hash", "n_docs", F.col("doc_ids").cast("array<long>").alias("doc_ids")
+        "text_hash",
+        "n_docs",
+        F.concat_ws(",", F.col("doc_ids").cast("array<string>")).alias("doc_ids"),
     )
 
 
@@ -691,8 +696,11 @@ def q_distill_dataset(spark, sf_dir):
     """NER-distillation dataset prep (reference ner.py:327-392): the
     corpus-derived vocabulary + per-doc (token_ids, BILUO tags) example
     table from the aggregated layer — everything upstream of the
-    neural trainer, which is the part a Spark engine owns. Rows-only;
-    exact tag/vocab semantics pinned by tests/test_distill.py."""
+    neural trainer, which is the part a Spark engine owns. The array
+    columns are projected to strings (comma-joined ids, space-joined
+    tags) so the driver's pandas canonicalizer can sort/hash them (the
+    r3 ERROR); exact tag/vocab semantics also pinned by
+    tests/test_distill.py."""
     from weak_supervision_for_ner_spark.operators.aggregate import majority_voter_mentions
     from weak_supervision_for_ner_spark.operators.annotate import annotate_pages
     from weak_supervision_for_ner_spark.operators.distill import (
@@ -702,7 +710,12 @@ def q_distill_dataset(spark, sf_dir):
 
     annotated = annotate_pages(_pages(spark, sf_dir)).persist()
     vocab = build_vocabulary(annotated)
-    return distillation_examples(annotated, majority_voter_mentions(annotated), vocab)
+    ex = distillation_examples(annotated, majority_voter_mentions(annotated), vocab)
+    return ex.select(
+        "url",
+        F.concat_ws(",", F.col("token_ids").cast("array<string>")).alias("token_ids"),
+        F.concat_ws(" ", "tags").alias("tags"),
+    )
 
 
 def q_crowd_gold(spark, sf_dir):
@@ -948,7 +961,8 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY doc_id) AS rn
             FROM documents)
         SELECT text_hash, COUNT(*) AS n_docs,
-               list_sort(list(doc_id) FILTER (rn <= 2)) AS doc_ids
+               array_to_string(list_sort(list(doc_id) FILTER (rn <= 2)), ',')
+                   AS doc_ids
         FROM h GROUP BY 1 HAVING COUNT(*) > 1
     """
 
@@ -1514,5 +1528,85 @@ def oracle_sql() -> dict[str, str]:
                    / COUNT(*) AS logloss_per_token
         FROM loss
     """
+
+    # ------------------------------------------------------------------
+    # pages-pipeline gates backed by materialized single-node-oracle
+    # fixtures (scripts/make_oracle_fixtures.py — the ann_ivf-centroid
+    # pattern): the Spark side runs the distributed pipeline, DuckDB
+    # reads the pure-python oracle's output for the SAME sf0.01 corpus,
+    # upgrading these rows from rows-only to rows+schema+hash. Guarded:
+    # if the fixtures are unreadable the gates degrade to rows-only
+    # instead of breaking the harness.
+    _fix_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+    _fix = {
+        "mentions": os.path.join(_fix_dir, "oracle_mentions_sf0.01.parquet"),
+        "majority": os.path.join(_fix_dir, "oracle_majority_sf0.01.parquet"),
+        "tokens": os.path.join(_fix_dir, "oracle_tokens_sf0.01.parquet"),
+    }
+    if all(os.path.isfile(p) for p in _fix.values()):
+        sql["pages_mentions"] = f"""
+            SELECT url, source, start, "end", label, conf, text
+            FROM read_parquet('{_fix["mentions"]}')
+        """
+        sql["pages_majority"] = f"""
+            SELECT url, source, start, "end", label, conf, text
+            FROM read_parquet('{_fix["majority"]}')
+        """
+        # distill oracle: vocabulary + BILUO tagging rebuilt in SQL from
+        # the oracle tokens + majority-mention fixtures (distill.py's
+        # exact conventions: idx 0=PAD 1=OOV, vocab ORDER BY n DESC,
+        # norm ASC with min_count=2 / max_size=100000; spans applied in
+        # ascending (start,end,label) order with later spans overwriting
+        # shared tokens = last-writer-wins per position).
+        sql["distill_dataset"] = f"""
+            WITH docs AS (
+                SELECT url, tokens FROM read_parquet('{_fix["tokens"]}')),
+            tok AS (
+                SELECT url, unnest(tokens) AS tok,
+                       generate_subscripts(tokens, 1) - 1 AS pos
+                FROM docs),
+            vocab AS (
+                SELECT norm, idx FROM (
+                    SELECT norm,
+                           row_number() OVER (ORDER BY n DESC, norm ASC) + 1 AS idx
+                    FROM (SELECT lower(tok) AS norm, COUNT(*) AS n
+                          FROM tok GROUP BY 1 HAVING COUNT(*) >= 2))
+                WHERE idx <= 100001),
+            nt AS (SELECT url, len(tokens) AS n FROM docs),
+            cspans AS (
+                SELECT s.url, s.start, LEAST(s."end", nt.n) AS e, s.label
+                FROM read_parquet('{_fix["majority"]}') s JOIN nt ON s.url = nt.url
+                WHERE LEAST(s."end", nt.n) > s.start),
+            tagged AS (
+                SELECT url, pos, tag FROM (
+                    SELECT t.url, t.pos,
+                           CASE WHEN s.e = s.start + 1 THEN 'U-' || s.label
+                                WHEN t.pos = s.start THEN 'B-' || s.label
+                                WHEN t.pos = s.e - 1 THEN 'L-' || s.label
+                                ELSE 'I-' || s.label END AS tag,
+                           row_number() OVER (PARTITION BY t.url, t.pos
+                               ORDER BY s.start DESC, s.e DESC, s.label DESC) AS rk
+                    FROM tok t
+                    JOIN cspans s ON t.url = s.url
+                                 AND t.pos >= s.start AND t.pos < s.e)
+                WHERE rk = 1),
+            assembled AS (
+                SELECT t.url,
+                       array_to_string(
+                           list(COALESCE(v.idx, 1) ORDER BY t.pos), ',') AS token_ids,
+                       array_to_string(
+                           list(COALESCE(g.tag, 'O') ORDER BY t.pos), ' ') AS tags
+                FROM tok t
+                LEFT JOIN vocab v ON lower(t.tok) = v.norm
+                LEFT JOIN tagged g ON g.url = t.url AND g.pos = t.pos
+                GROUP BY t.url)
+            SELECT d.url, COALESCE(a.token_ids, '') AS token_ids,
+                   COALESCE(a.tags, '') AS tags
+            FROM docs d LEFT JOIN assembled a ON d.url = a.url
+        """
+    else:
+        print("# pages fixture oracles disabled (fixtures/ missing); "
+              "pages_mentions/pages_majority/distill_dataset degrade to "
+              "rows-only", file=sys.stderr)
 
     return sql
