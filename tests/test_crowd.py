@@ -111,3 +111,17 @@ def test_malformed_crowd_chunks_dropped_not_fatal(spark, pages):
         ("Acme Corp acquired Initech .", "per/son abc-x/org 19-25/org 3/loc"),
     ])
     assert got == [("https://a.example.com/1", 3, 4, "ORG")]
+
+
+def test_out_of_order_chunks_sorted_before_merge(spark, pages):
+    """Chunks arriving out of file order ('19-25/org 0-8/company') are
+    disjoint spans; the merge must run over (start, end)-sorted spans
+    (analysis.py:288) — merging in raw chunk order would wrongly fuse
+    them into one inverted span that vanishes downstream."""
+    got = load(spark, pages, [
+        ("Acme Corp acquired Initech .", "19-25/org 0-8/company"),
+    ])
+    assert got == [
+        ("https://a.example.com/1", 0, 2, "COMPANY"),
+        ("https://a.example.com/1", 3, 4, "ORG"),
+    ]

@@ -91,3 +91,33 @@ def test_corrected_layer_repairs_model_spans(spark):
            for r in out.filter("source = 'model_annotator+c'").collect()]
     assert raw == [(0, 2, "COMPANY")]
     assert cor == [(0, 3, "ORG")]
+
+
+def test_generator_model_fn_still_emits_corrected_layer(spark):
+    """A model_fn returning a GENERATOR (lazy tagger) is consumed twice
+    (raw layer + corrected layer); the operator must materialize it
+    once, or the second pass reads an exhausted iterator and the '+c'
+    layer comes out silently empty."""
+    from weak_supervision_for_ner_spark.operators.annotate import (
+        annotate_pages,
+        mentions_from_annotated,
+    )
+    from weak_supervision_for_ner_spark.operators.model_annotator import (
+        annotate_with_model,
+        fake_gpe_model,
+    )
+    from weak_supervision_for_ner_spark.sources.pages import synth_pages
+
+    eager = fake_gpe_model()
+
+    def lazy_model(tokens):
+        return iter(eager(tokens))
+
+    annotated = annotate_pages(synth_pages(spark, 60, partitions=3))
+    mentions = mentions_from_annotated(annotate_with_model(annotated, lazy_model))
+    by_source = {
+        r["source"]: r["n"]
+        for r in mentions.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    assert by_source.get("model_annotator", 0) > 0
+    assert by_source.get("model_annotator+c", 0) > 0

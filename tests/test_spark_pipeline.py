@@ -348,13 +348,11 @@ def test_stage_dir_resumes_mid_pipeline(spark, tmp_path):
     assert "stage_commit_annotated" in stages1
     assert "stage_commit_mentions" in stages1
 
-    # re-run over GARBAGE input: only a true resume can reproduce the graph
-    garbage = synth_pages(spark, 5, partitions=1).selectExpr(
-        "url", "warc_ts", "html", "'nothing here' AS text", "lang"
-    )
+    # re-run over the same input: committed stages are READ, not
+    # recomputed (lineage proves it), and the graph is byte-identical
     lineage2 = str(tmp_path / "l2.json")
     _, _, g_resumed = run_kg_pipeline(
-        spark, garbage, aggregator="majority",
+        spark, pages, aggregator="majority",
         stage_dir=stage, lineage_path=lineage2,
     )
     resumed = sorted(map(tuple, g_resumed.select(*cols).collect()))
@@ -364,6 +362,15 @@ def test_stage_dir_resumes_mid_pipeline(spark, tmp_path):
     assert "stage_resume_annotated" in stages2
     assert "stage_resume_mentions" in stages2
     assert "truecase_dict_resumed" in stages2
+
+    # a DIFFERENT corpus against the same stage_dir must be rejected —
+    # the input identity is part of the fingerprint; silently serving
+    # the old corpus's stages would be stale-reuse under a new name
+    garbage = synth_pages(spark, 5, partitions=1).selectExpr(
+        "url", "warc_ts", "html", "'nothing here' AS text", "lang"
+    )
+    with pytest.raises(ValueError, match="stage_dir"):
+        run_kg_pipeline(spark, garbage, aggregator="majority", stage_dir=stage)
 
 
 def test_stage_dir_rejects_config_mismatch(spark, tmp_path):
@@ -394,8 +401,10 @@ def test_stale_registry_checkpoint_triggers_retrain(spark, tmp_path):
     model.fit_spark(spark, annotated, checkpoint_dir=ckpt)
 
     # corrupt the latest checkpoint into an "old registry" shape
+    # (iter_0*: lexicographic iter_*.npz would pick iter_init.npz,
+    # which resume never reads — corrupting it tests nothing)
     import glob
-    latest = sorted(glob.glob(ckpt + "/iter_*.npz"))[-1]
+    latest = sorted(glob.glob(ckpt + "/iter_0*.npz"))[-1]
     data = dict(np.load(latest))
     data["emission_probs"] = data["emission_probs"][:-1]   # one source fewer
     np.savez(latest[:-4], **data)
@@ -408,6 +417,18 @@ def test_stale_registry_checkpoint_triggers_retrain(spark, tmp_path):
     # the stale checkpoint was ignored: a full iteration ran fresh
     assert len(retrained.history) == 1
     assert retrained.emission_probs.shape == model.emission_probs.shape
+
+    # the incompatible file was quarantined (renamed .stale), so a THIRD
+    # resume picks the retrain's own valid checkpoint instead of
+    # re-selecting the stale max-iteration file forever
+    import glob as _glob
+    assert _glob.glob(ckpt + "/iter_*.npz.stale")
+    resumed2 = HMMAggregator(n_iter=1)
+    resumed2.fit_spark(spark, annotated, checkpoint_dir=ckpt, resume=True)
+    # resume succeeded from the retrain's checkpoint: no fresh iteration
+    # was needed (start_iter = latest+1 >= n_iter -> empty loop)
+    assert resumed2.emission_probs.shape == model.emission_probs.shape
+    assert len(resumed2.history) == len(retrained.history)
     annotated.unpersist()
 
 

@@ -455,10 +455,15 @@ class HMMAggregator:
                     # registry-shape mismatch (load() validates): a
                     # checkpoint from an older SOURCE_NAMES/LABELS
                     # registry cannot be resumed — retrain from scratch
-                    # instead of failing the job
+                    # instead of failing the job. The stale files are
+                    # renamed to .stale FIRST: left in place, a retrain
+                    # dying before it exceeds the stale run's iteration
+                    # count would make every later resume re-pick the
+                    # incompatible max-iteration file forever
                     logging.getLogger(__name__).warning(
                         "ignoring incompatible checkpoint and retraining: %s", exc
                     )
+                    _quarantine_checkpoints(checkpoint_dir)
 
         if self.startprob_ is None:
             counts = _collect_prior_counts(
@@ -677,6 +682,22 @@ def _collect_prior_counts(
     trans = sum(np.frombuffer(r["trans"]).reshape(N_STATES, N_STATES) for r in rows)
     obs = sum(np.frombuffer(r["obs"]).reshape(N_SOURCES, N_STATES) for r in rows)
     return init, trans, obs
+
+
+def _quarantine_checkpoints(checkpoint_dir: str) -> None:
+    """Rename every iter_*.npz (incl. iter_init) to *.stale so
+    _latest_checkpoint can never re-select a registry-incompatible
+    run's files; renamed, not deleted, to keep them inspectable."""
+    if not os.path.isdir(checkpoint_dir):
+        return
+    for name in os.listdir(checkpoint_dir):
+        if name.startswith("iter_") and (
+            name.endswith(".npz") or name.endswith(".meta.json")
+        ):
+            os.replace(
+                os.path.join(checkpoint_dir, name),
+                os.path.join(checkpoint_dir, name + ".stale"),
+            )
 
 
 def _latest_checkpoint(checkpoint_dir: str):

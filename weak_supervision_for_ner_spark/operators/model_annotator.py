@@ -66,7 +66,10 @@ def annotate_with_model(
             spans_out = []
             for tokens, spans in zip(pdf["tokens"], pdf["spans"]):
                 tokens = list(tokens)
-                preds = model_fn(tokens)
+                # materialize: preds is consumed twice (raw layer, then
+                # correct_spans_with_conf) — a generator-returning
+                # model_fn would yield a silently empty corrected layer
+                preds = list(model_fn(tokens))
                 extra = [
                     {"source": source_name, "start": int(s), "end": int(e),
                      "label": str(label), "conf": float(conf)}

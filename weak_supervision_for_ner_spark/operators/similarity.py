@@ -113,7 +113,11 @@ def brute_force_topk(
                 continue
             X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
             Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-            scores = np.round(Xn @ qn.T, 6)           # (batch, nq)
+            raw = Xn @ qn.T                           # (batch, nq)
+            # HALF_UP at 6 decimals to match the jvm kernel's F.round
+            # (np.round is half-to-even: a cosine landing exactly on a
+            # 5e-7 boundary would break row-for-row kernel parity)
+            scores = np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6 * np.sign(raw)
             cids = pdf[id_col].to_numpy()
             scores[cids[:, None] == ids_b[None, :]] = -np.inf  # self-match
             kk = min(k, len(cids))

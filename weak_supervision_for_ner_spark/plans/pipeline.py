@@ -9,6 +9,7 @@ metrics table.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -68,6 +69,20 @@ def stage_metrics(annotated: DataFrame) -> DataFrame:
             ).alias("n_quarantined"),
         )
     )
+
+
+def _input_identity(pages: DataFrame) -> str:
+    """Cheap corpus identity for the stage_dir fingerprint. File/table
+    inputs: an md5 over the sorted source-file list (driver-side
+    metadata only — no job, so it is free at 100 TB, and any
+    add/remove/rewrite of a split changes it). In-memory inputs (tests,
+    synth corpora) have no files; fall back to row count — one cheap
+    job, only ever paid off-cluster."""
+    files = sorted(pages.inputFiles())
+    if files:
+        h = hashlib.md5("\n".join(files).encode()).hexdigest()
+        return f"files:{len(files)}:{h}"
+    return f"rows:{pages.count()}"
 
 
 def _stage_materialize(
@@ -139,13 +154,15 @@ def run_kg_pipeline(
     lineage = Lineage(lineage_path)
 
     if stage_dir:
-        # Stage outputs are only valid for the configuration that
-        # produced them: a re-run with a different aggregator or
-        # truecase/correction setting silently reading stale stages
-        # would return the OLD run's results under the new run's name.
+        # Stage outputs are only valid for the configuration AND INPUT
+        # that produced them: a re-run with a different aggregator or
+        # truecase/correction setting — or pointed at a different
+        # corpus — silently reading stale stages would return the OLD
+        # run's results under the new run's name.
         fingerprint = {
             "aggregator": aggregator, "truecase": truecase,
             "entity_correction": entity_correction, "hmm_iters": hmm_iters,
+            "input": _input_identity(pages),
         }
         fp_path = os.path.join(stage_dir, "pipeline_config.json")
         if os.path.exists(fp_path):

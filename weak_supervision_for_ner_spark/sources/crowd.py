@@ -108,7 +108,7 @@ def parse_annotated_text(
     later span backwards (analysis.py:288-299, transcribed)."""
     starts = {c: i for i, c in enumerate(tok_offsets)}
     ends = {c + l: i + 1 for i, (c, l) in enumerate(zip(tok_offsets, tok_lens))}
-    spans: list[tuple[int, int, str]] = []
+    parsed: list[tuple[int, int, str]] = []
     for chunk in annotated_text.split():
         if "/" not in chunk:
             continue
@@ -124,7 +124,13 @@ def parse_annotated_text(
             continue
         if char_start not in starts or char_end not in ends:
             continue  # misaligned span: dropped like char_span -> None
-        start, end = starts[char_start], ends[char_end]
+        parsed.append((starts[char_start], ends[char_end], label))
+    # the reference merges over spans SORTED by (start, end)
+    # (analysis.py:288 iterates sorted(...) annotation keys); merging in
+    # raw chunk-file order would wrongly fuse disjoint out-of-order
+    # chunks and emit an inverted span
+    spans: list[tuple[int, int, str]] = []
+    for start, end, label in sorted(parsed):
         if spans:
             other_start, other_end = spans[-1][0], spans[-1][1]
         else:
