@@ -283,9 +283,15 @@ def q_minhash_signatures(spark, sf_dir):
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
+    """max_bucket=64 exercises the mega-bucket cap end-to-end (the
+    oracle mirrors the bucket-size filter; at sf0.01 no bucket exceeds
+    it, so the cap is also proven no-op-safe on clean data — the
+    semantics under an actual mega-bucket are pin-tested)."""
     from weak_supervision_for_ner_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n_hashes=4, bands=2, n=3)
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n_hashes=4, bands=2, n=3, max_bucket=64
+    )
 
 
 def q_dedup_drop_exact(spark, sf_dir):
@@ -328,13 +334,17 @@ def q_embedding_dups(spark, sf_dir):
     """Threshold 0.5 (not the 0.8 default): the fixture's max pairwise
     cosine is 0.513, so 0.8 compared two empty sets — a vacuous green.
     At 0.5 the gate certifies a real pair end-to-end through the
-    banded-LSH blocking + exact re-rank on BOTH engines."""
+    banded-LSH blocking + exact re-rank on BOTH engines. max_bucket=256
+    keeps the cap live in the plan but above the fixture's natural
+    bucket size (~125 of 500 vectors per 2-plane band bucket — 64
+    would empty the gate back into vacuousness); mega-bucket semantics
+    are pin-tested in tests/test_dataops.py."""
     from weak_supervision_for_ner_spark.operators.dedup import embedding_near_duplicates
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.expr("transform(embedding, x -> cast(x as double))")
     )
-    return embedding_near_duplicates(emb, threshold=0.5).select(
+    return embedding_near_duplicates(emb, threshold=0.5, max_bucket=256).select(
         "a", "b", F.round("cosine", 4).alias("cosine")
     )
 
@@ -1000,10 +1010,13 @@ def oracle_sql() -> dict[str, str]:
         banded AS (
             SELECT doc_id, 0 AS band, h0 || '#' || h1 AS key FROM sigs
             UNION ALL
-            SELECT doc_id, 1 AS band, h2 || '#' || h3 AS key FROM sigs)
+            SELECT doc_id, 1 AS band, h2 || '#' || h3 AS key FROM sigs),
+        sized AS (
+            SELECT *, COUNT(*) OVER (PARTITION BY band, key) AS sz FROM banded)
         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-        FROM banded l JOIN banded r
+        FROM sized l JOIN sized r
           ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        WHERE l.sz <= 64
     """
 
     sql["dedup_star_edges"] = _shingles + """
@@ -1081,12 +1094,16 @@ def oracle_sql() -> dict[str, str]:
         for b in range(8)
     )
     sql["embedding_dups"] = f"""
-        WITH buckets AS (
+        WITH buckets0 AS (
             {_ed_buckets}),
+        buckets AS (
+            SELECT *, COUNT(*) OVER (PARTITION BY band, key) AS sz
+            FROM buckets0),
         cand AS (
             SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
             FROM buckets l JOIN buckets r
-              ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id)
+              ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id
+            WHERE l.sz <= 256)
         SELECT c.a, c.b,
                ROUND(ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6), 4) AS cosine
         FROM cand c

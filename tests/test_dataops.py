@@ -441,3 +441,54 @@ def test_drop_near_duplicates_honors_text_col(spark):
             drop_near_duplicates(docs, n_hashes=4, bands=2, n=3,
                                  text_col="body").collect()}
     assert kept == {1, 3}
+
+
+def test_minhash_lsh_pairs_max_bucket_caps_mega_bucket(spark):
+    """A boilerplate mega-group (30 identical docs) shares every band
+    bucket; with max_bucket set those buckets are dropped BEFORE the
+    quadratic self-join — bounded pair output, counted drops — while
+    small buckets keep their pairs."""
+    from weak_supervision_for_ner_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [(i, "boiler plate empty page text repeated") for i in range(30)]
+    rows += [(100, "the cat sat on the mat today"),
+             (101, "the cat sat on the mat today")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {(r["a"], r["b"])
+                for r in minhash_lsh_pairs(docs, n_hashes=4, bands=2).collect()}
+    assert sum(1 for a, b in uncapped if a < 30 and b < 30) == 30 * 29 // 2
+
+    stats = {}
+    capped = {(r["a"], r["b"])
+              for r in minhash_lsh_pairs(docs, n_hashes=4, bands=2,
+                                         max_bucket=10, stats=stats).collect()}
+    assert capped == {(100, 101)}            # mega-group gone, real pair kept
+    assert stats["dropped_buckets"] == 2     # both bands' boilerplate buckets
+    assert stats["dropped_members"] == 60    # 30 members x 2 bands
+
+
+def test_embedding_lsh_max_bucket_caps_mega_bucket(spark):
+    """Same contract on the embedding blocker: identical vectors form a
+    mega-bucket in every band; capping drops them (counted) while a
+    small genuine near-dup pair survives."""
+    from weak_supervision_for_ner_spark.operators.dedup import embedding_near_duplicates
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(20)]
+    rows += [(100, [0.0, 1.0, 0.02, 0.0]), (101, [0.0, 1.0, 0.0, 0.02])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    uncapped = {(r["a"], r["b"])
+                for r in embedding_near_duplicates(
+                    emb, 0.9, blocker="lsh", dim=4).collect()}
+    assert sum(1 for a, b in uncapped if a < 20 and b < 20) == 20 * 19 // 2
+
+    stats = {}
+    capped = {(r["a"], r["b"])
+              for r in embedding_near_duplicates(
+                  emb, 0.9, blocker="lsh", dim=4,
+                  max_bucket=10, stats=stats).collect()}
+    assert (100, 101) in capped
+    assert not any(a < 20 and b < 20 for a, b in capped)
+    assert stats["dropped_buckets"] >= 1
+    assert stats["dropped_members"] >= 20

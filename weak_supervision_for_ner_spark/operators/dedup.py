@@ -123,6 +123,33 @@ def ngram_jaccard_pairs(
     )
 
 
+def _cap_buckets(
+    bucketed: DataFrame, keys: list[str], max_bucket: int | None,
+    stats: dict | None,
+) -> DataFrame:
+    """Drop LSH buckets with more than ``max_bucket`` member rows
+    before a quadratic intra-bucket self-join (boilerplate mega-bucket
+    guard). The windowed count shuffles on the same keys the self-join
+    uses, so Catalyst reuses the exchange — no extra shuffle in the
+    capped plan. ``stats`` (optional dict) receives
+    ``dropped_buckets``/``dropped_members`` from one extra small job."""
+    if max_bucket is None:
+        return bucketed
+    w = Window.partitionBy(*keys)
+    sized = bucketed.withColumn("_sz", F.count(F.lit(1)).over(w))
+    if stats is not None:
+        dropped = (
+            sized.filter(F.col("_sz") > max_bucket)
+            .groupBy(*keys).agg(F.first("_sz").alias("sz"))
+            .agg(F.count(F.lit(1)).alias("nb"),
+                 F.coalesce(F.sum("sz"), F.lit(0)).alias("nm"))
+            .collect()[0]
+        )
+        stats["dropped_buckets"] = int(dropped["nb"])
+        stats["dropped_members"] = int(dropped["nm"])
+    return sized.filter(F.col("_sz") <= max_bucket).drop("_sz")
+
+
 def minhash_signature_table(
     documents: DataFrame, n_hashes: int = 8, n: int = 3, text_col: str = "text"
 ) -> DataFrame:
@@ -139,9 +166,18 @@ def minhash_signature_table(
 def minhash_lsh_pairs(
     documents: DataFrame, n_hashes: int = 8, bands: int = 4, n: int = 3,
     verify_threshold: float | None = None, text_col: str = "text",
+    max_bucket: int | None = None, stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs: band the minhash signature, groupBy
-    (band, key), intra-bucket pairs. Optional exact-Jaccard verify."""
+    (band, key), intra-bucket pairs. Optional exact-Jaccard verify.
+
+    ``max_bucket`` (triples.lsh_candidate_pairs' contract): buckets
+    with more members are DROPPED before the quadratic self-join — the
+    skew guard for boilerplate mega-buckets. Default None keeps the
+    pairs-form's documented exhaustive-within-bucket semantics (and
+    oracle parity). Pass ``stats`` (a dict) to have drops COUNTED into
+    ``dropped_buckets``/``dropped_members`` via one small extra job, so
+    truncation is observable in lineage instead of silent."""
     sigs = minhash_signature_table(documents, n_hashes, n, text_col)
     rows_per_band = n_hashes // bands
     # single-pass banding: per-band keys become an array column that is
@@ -160,6 +196,7 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = _cap_buckets(banded, ["band", "key"], max_bucket, stats)
     pairs = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "key"])
@@ -295,8 +332,15 @@ def embedding_near_duplicates(
     embeddings: DataFrame, threshold: float = 0.95, id_col: str = "vec_id",
     vec_col: str = "embedding", blocker: str = "lsh",
     n_planes: int = 16, bands: int = 8, dim: int | None = None, seed: int = 42,
+    max_bucket: int | None = None, stats: dict | None = None,
 ) -> DataFrame:
     """Cosine >= threshold near-duplicate pairs.
+
+    ``max_bucket``/``stats`` (lsh blocker only): drop (band, key)
+    buckets larger than ``max_bucket`` before the candidate self-join,
+    with drops counted into ``stats`` — the same mega-bucket contract
+    as triples.lsh_candidate_pairs. Default None = uncapped (oracle
+    parity).
 
     ``blocker="lsh"`` (default, the 100-TB path): random-hyperplane
     sign bits split into ``bands`` bands of ``n_planes/bands`` planes;
@@ -355,6 +399,7 @@ def embedding_near_duplicates(
         bucketed = embeddings.select(
             F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
         ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        bucketed = _cap_buckets(bucketed, ["band", "key"], max_bucket, stats)
         cand_ids = (
             bucketed.alias("l")
             .join(bucketed.alias("r"), ["band", "key"])
