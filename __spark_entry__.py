@@ -729,37 +729,30 @@ def q_distill_dataset(spark, sf_dir):
 
 
 def q_crowd_gold(spark, sf_dir):
-    """Crowd-gold loader (reference analysis.py:213-301): records are
-    derived deterministically from the corpus' own first sentences
-    (annotated_text = the first whitespace token as PERSON, char
-    offsets), then joined BACK by exact sentence text and re-aligned to
-    token coordinates — exercising the dedup window, the broadcast text
-    join and the char->token alignment end-to-end. Rows-only gate; the
-    exact semantics (misaligned drops, DATETIME mapping, overlap merge)
-    are pinned by tests/test_crowd.py."""
-    from weak_supervision_for_ner_spark.sources.crowd import (
-        load_crowd_gold,
-        sentence_table,
-    )
+    """Crowd-gold loader (reference analysis.py:213-301), driven by an
+    EXTERNAL checked-in annotation file the way the reference loads
+    data/second_launch_annotations.json — the fixture
+    (scripts/make_crowd_fixture.py) deliberately includes records that
+    MISS (unknown sentence), misalign (mid-token char span), carry
+    malformed chunks, arrive out of order, overlap, and use DATETIME,
+    so the driver gate exercises every drop/merge path end-to-end, not
+    just the happy join. Oracle: the expected-output parquet computed
+    by the same per-sentence core in a plain python loop (the
+    plans/oracle.py pattern)."""
+    import json as _json
+
+    from weak_supervision_for_ner_spark.sources.crowd import load_crowd_gold
 
     pages = _pages(spark, sf_dir)
-    # compute the tokenizing sentence pass ONCE and share it between
-    # the record derivation and the loader's join side
-    sents = sentence_table(pages).persist()
-    records = (
-        sents
-        .filter((F.col("sent_idx") == 0) & (F.length("sent_text") > 0))
-        .select(
-            F.col("sent_text").alias("original_text"),
-            F.concat(
-                F.lit("0-"),
-                (F.length(F.split(F.trim("sent_text"), r"\s+")[0]) - 1).cast("string"),
-                F.lit("/person"),
-            ).alias("annotated_text"),
-        )
-        .distinct()
+    fix = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "fixtures", "crowd_records_sf0.01.json")
+    with open(fix) as fd:
+        recs = _json.load(fd)
+    records = spark.createDataFrame(
+        [(v["original_text"], v["annotated_text"]) for v in recs.values()],
+        "original_text string, annotated_text string",
     )
-    return load_crowd_gold(records, pages, sentences=sents)
+    return load_crowd_gold(records, pages)
 
 
 def q_pages_snorkel(spark, sf_dir):
@@ -1559,6 +1552,7 @@ def oracle_sql() -> dict[str, str]:
         "mentions": os.path.join(_fix_dir, "oracle_mentions_sf0.01.parquet"),
         "majority": os.path.join(_fix_dir, "oracle_majority_sf0.01.parquet"),
         "tokens": os.path.join(_fix_dir, "oracle_tokens_sf0.01.parquet"),
+        "crowd": os.path.join(_fix_dir, "oracle_crowd_gold_sf0.01.parquet"),
     }
     if all(os.path.isfile(p) for p in _fix.values()):
         sql["pages_mentions"] = f"""
@@ -1568,6 +1562,10 @@ def oracle_sql() -> dict[str, str]:
         sql["pages_majority"] = f"""
             SELECT url, source, start, "end", label, conf, text
             FROM read_parquet('{_fix["majority"]}')
+        """
+        sql["crowd_gold"] = f"""
+            SELECT url, start, "end", label, conf
+            FROM read_parquet('{_fix["crowd"]}')
         """
         # distill oracle: vocabulary + BILUO tagging rebuilt in SQL from
         # the oracle tokens + majority-mention fixtures (distill.py's
