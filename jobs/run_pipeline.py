@@ -42,6 +42,11 @@ def main() -> None:
     ap.add_argument("--no-entity-correction", action="store_true",
                     help="skip the 15-rule entity repair pass (the reference "
                          "applies it after every model annotation)")
+    ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"],
+                    help="sink format for --output/--mentions-out: parquet "
+                         "paths (default) or Iceberg catalog TABLE NAMES via "
+                         "writeTo/overwritePartitions — requires an Iceberg "
+                         "catalog configured on the session")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -55,6 +60,8 @@ def main() -> None:
 
     if args.input.startswith("synth:"):
         pages = synth_pages(spark, int(args.input.split(":", 1)[1]))
+    elif args.format == "iceberg":
+        pages = spark.table(args.input)   # catalog table name
     else:
         pages = spark.read.parquet(args.input)
 
@@ -70,9 +77,9 @@ def main() -> None:
         entity_correction=not args.no_entity_correction,
         stage_dir=args.stage_dir,
     )
-    write_graph(graph, args.output)
+    write_graph(graph, args.output, fmt=args.format)
     if args.mentions_out:
-        write_mentions(mentions, args.mentions_out)
+        write_mentions(mentions, args.mentions_out, fmt=args.format)
     if args.mentions_json:
         mentions.write.mode("overwrite").json(args.mentions_json)
     annotated.unpersist()
@@ -82,7 +89,9 @@ def main() -> None:
     # rewrite); everything is written out now, so release all stage
     # caches before the session moves on
     spark.catalog.clearCache()
-    print(f"graph written to {args.output}: {spark.read.parquet(args.output).count()} triples")
+    n = (spark.table(args.output) if args.format == "iceberg"
+         else spark.read.parquet(args.output)).count()
+    print(f"graph written to {args.output}: {n} triples")
 
 
 if __name__ == "__main__":

@@ -131,12 +131,14 @@ def mentions_from_annotated(annotated: DataFrame) -> DataFrame:
     )
 
 
-def write_mentions(mentions: DataFrame, path: str, buckets: int = 32) -> None:
-    """Sink: salted repartition on url-hash (hot-domain skew, SURVEY.md §4)
-    then parquet/Iceberg write partition-pruned by source."""
-    (
-        mentions
-        .repartition(buckets, F.xxhash64("url"))
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+def write_mentions(
+    mentions: DataFrame, target: str, buckets: int = 32, fmt: str = "parquet"
+) -> None:
+    """Sink: salted repartition on url-hash (hot-domain skew, SURVEY.md
+    §4), source-partitioned for layer pruning. ``fmt="iceberg"`` writes
+    to a catalog table via writeTo/overwritePartitions
+    (sinks.write_table)."""
+    from weak_supervision_for_ner_spark.sinks import write_table
+
+    write_table(mentions, target, fmt=fmt, partition_by=("source",),
+                bucket_col="url", buckets=buckets)

@@ -2,10 +2,13 @@
 columns with typed metadata.
 
 The Spark-side plumbing (schema, partitioning, Arrow UDF signatures,
-batch shape) is real and tested; the actual codec work is STUBBED —
-the sandbox has no image/audio libraries — behind
-``register_decoder``: production registers a real decoder (PIL/ffmpeg
-inside the same mapInPandas), tests register the deterministic fake.
+batch shape) is real and tested. Codecs: UNCOMPRESSED formats decode
+for real with pure numpy/stdlib (``decode_wav_pcm`` for RIFF/WAVE
+audio, ``decode_ppm`` for binary PPM/PGM images — sniffed by magic
+bytes in ``builtin_decoder``); compressed formats (JPEG/MP3/H.264)
+still enter behind ``register_decoder`` because the sandbox has no
+PIL/ffmpeg — production registers the real codec inside the same
+mapInPandas.
 
 Design notes for 100 TB:
 - blobs stay in the lake; this operator reads (path, bytes) batches
@@ -54,6 +57,91 @@ def register_decoder(fn: Decoder) -> None:
     _DECODER = fn
 
 
+def decode_wav_pcm(payload: bytes) -> np.ndarray:
+    """REAL audio decode, pure numpy/stdlib: RIFF/WAVE with PCM
+    (format 1: 8/16/32-bit int) or IEEE-float (format 3) samples →
+    (n_samples, n_channels) float32 in [-1, 1]. Uncompressed WAV needs
+    no codec library, so this modality is production-real in any
+    environment; compressed audio still enters via register_decoder."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = (
+                int.from_bytes(body[0:2], "little"),   # audio format
+                int.from_bytes(body[2:4], "little"),   # channels
+                int.from_bytes(body[14:16], "little"), # bits/sample
+            )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, bits = fmt
+    if audio_format == 1 and bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif audio_format == 1 and bits == 32:
+        x = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif audio_format == 1 and bits == 8:   # 8-bit WAV is unsigned
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif audio_format == 3 and bits == 32:
+        x = np.frombuffer(data, dtype="<f4").astype(np.float32)
+    else:
+        raise ValueError(f"unsupported WAV encoding (format={audio_format}, bits={bits})")
+    channels = max(1, channels)
+    return x[: len(x) // channels * channels].reshape(-1, channels)
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL image decode, pure numpy: binary PPM (P6, RGB) / PGM (P5,
+    gray) → 2-D float32 luma array in [0, 1] (the shape resize_images
+    consumes). Netpbm is uncompressed, so no codec library is needed."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PPM/PGM payload")
+    # header: magic, width, height, maxval — '#' comments allowed
+    fields, pos = [], 2
+    while len(fields) < 3 and pos < len(payload):
+        c = payload[pos:pos + 1]
+        if c == b"#":
+            pos = payload.index(b"\n", pos) + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end:end + 1].isspace():
+                end += 1
+            fields.append(int(payload[pos:end]))
+            pos = end
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    nch = 3 if payload[:2] == b"P6" else 1
+    dtype = np.uint8 if maxval < 256 else ">u2"
+    raster = np.frombuffer(payload, dtype=dtype, count=width * height * nch,
+                           offset=pos)
+    arr = raster.astype(np.float32).reshape(height, width, nch) / float(maxval)
+    return arr.mean(axis=2) if nch == 3 else arr[:, :, 0]
+
+
+def builtin_decoder(payload: bytes, kind: str) -> np.ndarray:
+    """Magic-byte-sniffing default decoder: real decodes for the
+    uncompressed formats (WAV audio, PPM/PGM images); anything else
+    still needs a registered decoder (PIL/ffmpeg are not in this
+    sandbox)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav_pcm(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        return decode_ppm(payload)
+    raise NotImplementedError(
+        f"no built-in decoder for this {kind} payload — built-ins cover "
+        "uncompressed WAV and PPM/PGM; pass decoder= or call "
+        "register_decoder() for compressed formats"
+    )
+
+
 def deterministic_fake_decoder(payload: bytes, kind: str) -> np.ndarray:
     """Test decoder: a seeded pseudo-'image' derived from the blob's
     sha1 — deterministic across partitions/executors."""
@@ -70,7 +158,7 @@ def extract_features(media: DataFrame, dim: int = 16, decoder: Decoder | None = 
     global set on the driver would NOT reach Python workers); falls
     back to the driver-registered one, else raises NotImplementedError
     from the worker."""
-    decoder = decoder or _DECODER
+    decoder = decoder or _DECODER or builtin_decoder
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -135,7 +223,7 @@ def resize_images(
     explosion) is fully real; only the byte→array decode is behind the
     decoder seam. Output: one row per image with the row-major resized
     pixel array."""
-    decoder = decoder or _DECODER
+    decoder = decoder or _DECODER or builtin_decoder
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -172,7 +260,7 @@ def sample_frames(
     decoder seam called with a frame-qualified payload slice; frame
     features are pooled like extract_features. Rows explode 1→N inside
     the Arrow batch — no shuffle until the small feature vectors."""
-    decoder = decoder or _DECODER
+    decoder = decoder or _DECODER or builtin_decoder
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
