@@ -567,3 +567,20 @@ def test_real_wav_and_ppm_through_spark_stages(spark):
     px = np.array(resized["img1"]["pixels"]).reshape(2, 2)
     assert np.allclose(px[0], 1.0, atol=1e-6)   # white top
     assert np.allclose(px[1], 0.0, atol=1e-6)   # black bottom
+
+
+def test_lsh_and_ivf_numpy_rerank_parity(spark):
+    """kernel="numpy" (Arrow einsum re-rank) must return the SAME rows
+    as the JVM HOF re-rank for both bucketed indexes — same blocking,
+    same rounding (HALF_UP 6dp), same tie-breaks."""
+    from weak_supervision_for_ner_spark.operators.similarity import ivf_topk, lsh_topk
+
+    emb = _clustered_embeddings(spark, n_clusters=10, per_cluster=6).persist()
+    q = emb.limit(8).selectExpr("vec_id AS query_id", "embedding")
+
+    for fn, kw in ((lsh_topk, dict(n_planes=4, dim=16)),
+                   (ivf_topk, dict(n_cells=6, nprobe=2, sample_limit=64))):
+        jvm = sorted(map(tuple, fn(emb, q, k=5, **kw).collect()))
+        npk = sorted(map(tuple, fn(emb, q, k=5, kernel="numpy", **kw).collect()))
+        assert npk == jvm and jvm
+    emb.unpersist()
