@@ -1553,6 +1553,13 @@ def oracle_sql() -> dict[str, str]:
         "majority": os.path.join(_fix_dir, "oracle_majority_sf0.01.parquet"),
         "tokens": os.path.join(_fix_dir, "oracle_tokens_sf0.01.parquet"),
         "crowd": os.path.join(_fix_dir, "oracle_crowd_gold_sf0.01.parquet"),
+        "corrected": os.path.join(_fix_dir, "oracle_corrected_sf0.01.parquet"),
+        "hmm": os.path.join(_fix_dir, "oracle_hmm_sf0.01.parquet"),
+        "snorkel": os.path.join(_fix_dir, "oracle_snorkel_sf0.01.parquet"),
+        "eval_mv": os.path.join(_fix_dir, "oracle_eval_mv_sf0.01.parquet"),
+        "eval_corrected": os.path.join(_fix_dir, "oracle_eval_corrected_sf0.01.parquet"),
+        "eval_hmm": os.path.join(_fix_dir, "oracle_eval_hmm_sf0.01.parquet"),
+        "eval_snorkel": os.path.join(_fix_dir, "oracle_eval_snorkel_sf0.01.parquet"),
     }
     if all(os.path.isfile(p) for p in _fix.values()):
         sql["pages_mentions"] = f"""
@@ -1567,6 +1574,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, start, "end", label, conf
             FROM read_parquet('{_fix["crowd"]}')
         """
+        sql["pages_corrected"] = f"""
+            SELECT url, source, start, "end", label, conf, text
+            FROM read_parquet('{_fix["corrected"]}')
+        """
+        sql["pages_hmm"] = f"""
+            SELECT url, source, start, "end", label, conf, text
+            FROM read_parquet('{_fix["hmm"]}')
+        """
+        sql["pages_snorkel"] = f"""
+            SELECT url, source, start, "end", label, conf, text
+            FROM read_parquet('{_fix["snorkel"]}')
+        """
+        for _ev in ("mv", "corrected", "hmm", "snorkel"):
+            sql[f"pages_eval_{_ev}"] = (
+                "SELECT label, support, entity_precision, entity_recall, "
+                "entity_f1, token_precision, token_recall, token_f1 "
+                f"FROM read_parquet('{{0}}')".format(_fix[f"eval_{_ev}"])
+            )
         # distill oracle: vocabulary + BILUO tagging rebuilt in SQL from
         # the oracle tokens + majority-mention fixtures (distill.py's
         # exact conventions: idx 0=PAD 1=OOV, vocab ORDER BY n DESC,

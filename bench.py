@@ -96,6 +96,19 @@ def q_ann_ivf_topk(entrymod):
     return fn
 
 
+def q_ann_ivf_np(entrymod):
+    """Both levers at once: IVF candidate pruning x numpy re-rank
+    kernel — the combination that multiplies at 100 TB."""
+    def fn(spark, sf_dir):
+        from weak_supervision_for_ner_spark.operators.similarity import ivf_topk
+
+        emb, queries = _ann_inputs(entrymod, spark, sf_dir)
+        return ivf_topk(emb, queries, k=5, n_cells=8, nprobe=2,
+                        sample_limit=256, kernel="numpy")
+
+    return fn
+
+
 def main() -> None:
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -188,6 +201,7 @@ def main() -> None:
     run("ann_brute_np_200q", q_ann_brute_np(entrymod))
     run("ann_lsh_topk_200q", q_ann_lsh_topk(entrymod))
     run("ann_ivf_topk_200q", q_ann_ivf_topk(entrymod))
+    run("ann_ivf_np_200q", q_ann_ivf_np(entrymod))
     run("agg_rollup", entrymod.q_agg_rollup)
     run("join_equi", entrymod.q_join_equi)
     run("events_windowed", entrymod.q_events_windowed)
@@ -213,6 +227,35 @@ def main() -> None:
     }
     if load_warning:
         out["load_warning"] = True
+
+    # North-rule scaling evidence folded into the SAME self-certifying
+    # artifact (round-3 verdict item #8): run the identical KG job at N
+    # and 4N cores (fresh subprocess JVMs) on a 192k-doc corpus — large
+    # enough that per-doc work dominates fixed job overhead (the sf0.1
+    # corpus above is overhead-bound, so its docs/s understates the
+    # engine ~3x). Skippable via SPARK_GRAFT_BENCH_SCALING=0.
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
+        import scaling_bench
+
+        spark.stop()  # free this session's executor threads first
+        scale_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "192000"))
+        scale_n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+        load_before_scaling = round(os.getloadavg()[0], 2)
+        try:
+            lo = scaling_bench.run_level(scale_n, scale_docs)
+            hi = scaling_bench.run_level(4 * scale_n, scale_docs)
+            out["scaling"] = {
+                "n_docs": scale_docs,
+                f"local{scale_n}": lo,
+                f"local{4 * scale_n}": hi,
+                "speedup": round(lo["sec"] / hi["sec"], 2),
+                "efficiency": round((lo["sec"] / hi["sec"]) / 4.0, 3),
+                "load_1m_before": load_before_scaling,
+            }
+            out["kg_docs_per_sec_192k"] = hi["docs_per_sec"]
+        except Exception as exc:  # noqa: BLE001 — bench must still emit
+            print(f"# scaling block failed: {exc}", file=sys.stderr)
+            out["scaling"] = {"error": str(exc)}
     print(json.dumps(out))
 
 

@@ -56,6 +56,88 @@ def _mention_table(rows) -> pa.Table:
     )
 
 
+EVAL_SCHEMA = pa.schema([
+    ("label", pa.string()),
+    ("support", pa.int64()),
+    ("entity_precision", pa.float64()),
+    ("entity_recall", pa.float64()),
+    ("entity_f1", pa.float64()),
+    ("token_precision", pa.float64()),
+    ("token_recall", pa.float64()),
+    ("token_f1", pa.float64()),
+])
+
+
+def oracle_eval(gold_rows, pred_rows, mappings, keep):
+    """Single-node mirror of operators.evaluate.evaluate_mentions
+    (reference analysis.py:40-161): best-label-per-span at conf>=0.5,
+    CoNLL label mapping + keep filter, entity/token TP-FP-FN set
+    algebra, micro/macro/weighted rollups with the same eps=1e-10 and
+    6-dp rounding conventions."""
+    eps = 1e-10
+
+    def mp(lab):
+        return mappings.get(lab, lab)
+
+    best = {}
+    for (url, _src, s, e, lab, conf, _t) in pred_rows:
+        k = (url, s, e)
+        cur = best.get(k)
+        if cur is None or (conf, lab) > cur:
+            best[k] = (conf, lab)
+    pred = {(u, s, e, mp(lab)) for (u, s, e), (conf, lab) in best.items()
+            if conf >= 0.5 and mp(lab) in keep}
+    gold = {(u, s, e, mp(lab)) for (u, s, e, lab) in gold_rows
+            if mp(lab) in keep}
+
+    def tokens(spans):
+        return {(u, i, lab) for (u, s, e, lab) in spans if e > s
+                for i in range(s, e)}
+
+    def counts(g, p, labels):
+        out = {}
+        for lab in labels:
+            gs = {x for x in g if x[-1] == lab}
+            ps = {x for x in p if x[-1] == lab}
+            out[lab] = (len(gs & ps), len(ps - gs), len(gs - ps), len(gs))
+        return out
+
+    labels = sorted({x[-1] for x in gold} | {x[-1] for x in pred})
+    ent = counts(gold, pred, labels)
+    tok = counts(tokens(gold), tokens(pred), labels)
+
+    def prf3(tp, fp, fn):
+        p = round(tp / (tp + fp + eps), 6)
+        r = round(tp / (tp + fn + eps), 6)
+        return p, r, round(2 * p * r / (p + r + eps), 6)
+
+    rows = []
+    for lab in labels:
+        etp, efp, efn, sup = ent[lab]
+        ttp, tfp, tfn, _ = tok[lab]
+        rows.append((lab, sup, *prf3(etp, efp, efn), *prf3(ttp, tfp, tfn)))
+
+    e_sum = [sum(ent[l][i] for l in labels) for i in range(4)]
+    t_sum = [sum(tok[l][i] for l in labels) for i in range(3)]
+    rows.append(("micro", e_sum[3], *prf3(e_sum[0], e_sum[1], e_sum[2]),
+                 *prf3(t_sum[0], t_sum[1], t_sum[2])))
+
+    def f1(p, r):
+        return round(2 * p * r / (p + r + eps), 6)
+
+    n = len(labels)
+    mep = round(sum(r[2] for r in rows[:n]) / n, 6)
+    mer = round(sum(r[3] for r in rows[:n]) / n, 6)
+    mtp = round(sum(r[5] for r in rows[:n]) / n, 6)
+    mtr = round(sum(r[6] for r in rows[:n]) / n, 6)
+    total_sup = sum(r[1] for r in rows[:n])
+    wep = round(sum(r[2] * r[1] for r in rows[:n]) / total_sup, 6)
+    wer = round(sum(r[3] * r[1] for r in rows[:n]) / total_sup, 6)
+    rows.append(("macro", total_sup, mep, mer, f1(mep, mer), mtp, mtr, f1(mtp, mtr)))
+    rows.append(("weighted", total_sup, wep, wer, f1(wep, wer), 0.0, 0.0, 0.0))
+    return rows
+
+
 def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     pages = [make_page(i, SEED)[0] for i in range(N_DOCS)]
@@ -90,6 +172,89 @@ def main() -> None:
     pq.write_table(_mention_table(mv_rows),
                    os.path.join(OUT_DIR, "oracle_majority_sf0.01.parquet"))
     print(f"majority: {len(mv_rows)} rows")
+
+    # entity-corrected majority mentions — the same single-node mirror
+    # of operators.entity_correction.correct_mentions (per-doc pure
+    # repair + max-absorbed-conf policy + lexicographically-smallest
+    # source naming)
+    from weak_supervision_for_ner_spark.operators.entity_correction import (
+        correct_entity_spans,
+    )
+
+    by_url: dict[str, list[tuple]] = {}
+    for url, source, start, end, label, conf, _text in mv_rows:
+        by_url.setdefault(url, []).append((start, end, label, conf, source))
+    tok_by_url = {d["url"]: d["tokens"] for d in annotated}
+    corr_rows = []
+    for url, ments in by_url.items():
+        tokens = tok_by_url[url]
+        ents = sorted((int(s), int(e), str(lab)) for (s, e, lab, _c, _src) in ments)
+        source = min(src for (_s, _e, _l, _c, src) in ments)
+        max_conf = max(c for (_s, _e, _l, c, _src) in ments)
+        for s, e, lab in correct_entity_spans(list(tokens), ents):
+            e = min(e, len(tokens))
+            overlapping = [c for (ms, me, _ml, c, _src) in ments if ms < e and s < me]
+            conf = max(overlapping) if overlapping else max_conf
+            corr_rows.append((url, source, s, e, lab, conf,
+                              " ".join(tokens[s:e])))
+    pq.write_table(_mention_table(corr_rows),
+                   os.path.join(OUT_DIR, "oracle_corrected_sf0.01.parquet"))
+    print(f"corrected: {len(corr_rows)} rows")
+
+    # HMM fit (n_iter=2, the driver query's setting) + Viterbi decode —
+    # single-node Baum-Welch over the same annotated docs
+    from weak_supervision_for_ner_spark.plans.oracle import (
+        oracle_hmm_fit,
+        oracle_hmm_mentions,
+    )
+
+    model = oracle_hmm_fit(annotated, n_iter=2)
+    hmm_rows = [tuple(r) for r in oracle_hmm_mentions(model, annotated)]
+    pq.write_table(_mention_table(hmm_rows),
+                   os.path.join(OUT_DIR, "oracle_hmm_sf0.01.parquet"))
+    print(f"hmm decode: {len(hmm_rows)} rows")
+
+    # Snorkel-style label model (n_iter=5, the driver query's setting):
+    # single-node Dawid-Skene EM fit + per-doc posterior decode
+    from weak_supervision_for_ner_spark.operators.labelmodel import (
+        LabelModelAggregator,
+    )
+
+    lm = LabelModelAggregator(n_iter=5)
+    lm.fit([d["spans"] for d in annotated])
+    sn_rows = []
+    for d in annotated:
+        sn_rows.extend(tuple(r) for r in
+                       lm.decode_doc(d["url"], list(d["tokens"]), d["spans"]))
+    pq.write_table(_mention_table(sn_rows),
+                   os.path.join(OUT_DIR, "oracle_snorkel_sf0.01.parquet"))
+    print(f"snorkel decode: {len(sn_rows)} rows")
+
+    # evaluation rollups per aggregated layer vs the generator gold
+    from weak_supervision_for_ner_spark.schema import (
+        CONLL_MAPPINGS,
+        CONLL_TO_RETAIN,
+    )
+    from weak_supervision_for_ner_spark.sources.pages import gold_token_spans
+
+    gold_rows = []
+    for i in range(N_DOCS):
+        page, char_gold = make_page(i, SEED)
+        for s, e, label in gold_token_spans(page["text"], char_gold):
+            gold_rows.append((page["url"], s, e, label))
+    print(f"gold: {len(gold_rows)} rows")
+
+    for name, pred_rows in (("mv", mv_rows), ("corrected", corr_rows),
+                            ("hmm", hmm_rows), ("snorkel", sn_rows)):
+        ev = oracle_eval(gold_rows, pred_rows, CONLL_MAPPINGS, CONLL_TO_RETAIN)
+        cols = list(zip(*ev))
+        tbl = pa.Table.from_arrays(
+            [pa.array(c, type=f.type) for c, f in zip(cols, EVAL_SCHEMA)],
+            schema=EVAL_SCHEMA,
+        )
+        pq.write_table(tbl, os.path.join(OUT_DIR, f"oracle_eval_{name}_sf0.01.parquet"))
+        micro = [r for r in ev if r[0] == "micro"][0]
+        print(f"eval_{name}: {len(ev)} rows, micro entity F1 {micro[4]}")
 
 
 if __name__ == "__main__":
