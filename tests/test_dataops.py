@@ -576,7 +576,9 @@ def test_lsh_and_ivf_numpy_rerank_parity(spark):
     from weak_supervision_for_ner_spark.operators.similarity import ivf_topk, lsh_topk
 
     emb = _clustered_embeddings(spark, n_clusters=10, per_cluster=6).persist()
-    q = emb.limit(8).selectExpr("vec_id AS query_id", "embedding")
+    # orderBy before limit: a bare limit() on unordered data may pick
+    # different rows per execution, failing parity spuriously
+    q = emb.orderBy("vec_id").limit(8).selectExpr("vec_id AS query_id", "embedding")
 
     for fn, kw in ((lsh_topk, dict(n_planes=4, dim=16)),
                    (ivf_topk, dict(n_cells=6, nprobe=2, sample_limit=64))):
@@ -584,3 +586,24 @@ def test_lsh_and_ivf_numpy_rerank_parity(spark):
         npk = sorted(map(tuple, fn(emb, q, k=5, kernel="numpy", **kw).collect()))
         assert npk == jvm and jvm
     emb.unpersist()
+
+
+def test_zero_vector_never_ranks_first_in_either_kernel(spark):
+    """A zero-norm embedding (failed encoder / padding row) must not
+    outrank real neighbors: unguarded cosine yields NaN, which Spark's
+    descending sort puts at rank 1. Both kernels clamp norms to 1e-12,
+    so the zero vector scores ~0 and the kernels stay row-identical."""
+    from weak_supervision_for_ner_spark.operators.similarity import brute_force_topk
+
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 0.0, 0.0]), (4, [0.5, 0.5, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(1, [1.0, 0.0, 0.0])],
+                              "query_id long, embedding array<double>")
+    jvm = [tuple(r) for r in
+           brute_force_topk(emb, q, k=3, kernel="jvm").orderBy("rank").collect()]
+    npk = [tuple(r) for r in
+           brute_force_topk(emb, q, k=3, kernel="numpy").orderBy("rank").collect()]
+    assert jvm == npk
+    assert jvm[0][1] == 2                      # real neighbor first
+    assert all(r[1] != 3 or r[2] == 0.0 for r in jvm)   # zero vec scores 0

@@ -460,3 +460,19 @@ def test_cli_stage_dir_flag(spark, tmp_path, monkeypatch):
     a = spark.read.parquet(str(tmp_path / "cli_graph1")).count()
     b = spark.read.parquet(str(tmp_path / "cli_graph2")).count()
     assert a == b > 0
+
+
+def test_stage_dir_rejects_same_size_different_corpus(spark, tmp_path):
+    """The in-memory input fingerprint must be a content hash, not a
+    bare row count: two same-size corpora with different text would
+    otherwise collide and silently resume each other's stages."""
+    pages = synth_pages(spark, 30, partitions=2)
+    stage = str(tmp_path / "stages_same_size")
+    run_kg_pipeline(spark, pages, aggregator="majority", stage_dir=stage)
+
+    same_size_garbage = synth_pages(spark, 30, partitions=2).selectExpr(
+        "url", "warc_ts", "html", "'nothing here' AS text", "lang"
+    )
+    with pytest.raises(ValueError, match="stage_dir"):
+        run_kg_pipeline(spark, same_size_garbage, aggregator="majority",
+                        stage_dir=stage)

@@ -28,7 +28,12 @@ def _cosine(va: str, vb: str):
                       lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate(va, F.lit(0.0), lambda acc, x: acc + x * x))
     nb = F.sqrt(F.aggregate(vb, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
+    # norms clamped like the numpy kernels (max(norm, 1e-12)): a
+    # zero-norm vector (failed encoder, padding row) would otherwise
+    # yield NaN, which Spark's descending sort ranks ABOVE every real
+    # cosine — garbage vectors would take rank 1 and the two kernels
+    # would diverge
+    return dot / (F.greatest(na, F.lit(1e-12)) * F.greatest(nb, F.lit(1e-12)))
 
 
 def brute_force_topk(
@@ -99,7 +104,7 @@ def brute_force_topk(
         return spark.createDataFrame([], schema)
     qids = np.array([r["query_id"] for r in q_rows])
     qmat = np.array([list(r["qvec"]) for r in q_rows], dtype=np.float64)
-    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
     bc = spark.sparkContext.broadcast((qids, qnorm))
 
     part_schema = T.StructType([
@@ -115,12 +120,9 @@ def brute_force_topk(
             if not len(pdf):
                 continue
             X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
             raw = Xn @ qn.T                           # (batch, nq)
-            # HALF_UP at 6 decimals to match the jvm kernel's F.round
-            # (np.round is half-to-even: a cosine landing exactly on a
-            # 5e-7 boundary would break row-for-row kernel parity)
-            scores = np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6 * np.sign(raw)
+            scores = _round_half_up6(raw)
             cids = pdf[id_col].to_numpy()
             scores[cids[:, None] == ids_b[None, :]] = -np.inf  # self-match
             kk = min(k, len(cids))

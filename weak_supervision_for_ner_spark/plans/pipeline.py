@@ -75,14 +75,25 @@ def _input_identity(pages: DataFrame) -> str:
     """Cheap corpus identity for the stage_dir fingerprint. File/table
     inputs: an md5 over the sorted source-file list (driver-side
     metadata only — no job, so it is free at 100 TB, and any
-    add/remove/rewrite of a split changes it). In-memory inputs (tests,
-    synth corpora) have no files; fall back to row count — one cheap
-    job, only ever paid off-cluster."""
+    add/remove/rewrite of a split changes it; by design the identity is
+    the FILES, not the plan on top of them — two runs reading the same
+    snapshot through different filters share stages). In-memory inputs
+    (tests, synth corpora) have no files; fall back to one cheap
+    content-hash job (count + order-independent xxhash64 over
+    url/text) — a bare row count would collide for any two same-size
+    corpora, which is exactly the stale-reuse case the fingerprint
+    exists to catch."""
     files = sorted(pages.inputFiles())
     if files:
         h = hashlib.md5("\n".join(files).encode()).hexdigest()
         return f"files:{len(files)}:{h}"
-    return f"rows:{pages.count()}"
+    agg = pages.agg(
+        F.count(F.lit(1)).alias("n"),
+        # bit_xor: order-independent and cannot overflow under ANSI
+        # mode (sum(xxhash64) throws ARITHMETIC_OVERFLOW on Spark 4)
+        F.expr("bit_xor(xxhash64(url, text))").alias("h"),
+    ).collect()[0]
+    return f"rows:{agg['n']}:{agg['h']}"
 
 
 def _stage_materialize(
