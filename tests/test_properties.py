@@ -166,3 +166,98 @@ def test_simhash_packed_agg_equals_naive(tokens):
             if 2 * ones > len(hashes):
                 packed |= 1 << (g * FIELDS + k)
     assert packed == naive
+
+
+@given(st.lists(st.floats(min_value=-1.0, max_value=1.0,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=50))
+@settings(deadline=None, max_examples=100)
+def test_round_half_up6_matches_decimal(xs):
+    """The numpy HALF_UP helper must agree with decimal ROUND_HALF_UP
+    at 6 dp — including exact 5e-7 boundaries (np.round would not)."""
+    import decimal
+
+    import numpy as np
+
+    from weak_supervision_for_ner_spark.operators.similarity import _round_half_up6
+
+    xs = xs + [0.0000005, -0.0000015, 0.1234565]   # exact boundaries
+    got = _round_half_up6(np.array(xs, dtype=np.float64))
+    for x, g in zip(xs, got):
+        want = float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        # repr(x) vs binary float can differ at the boundary ulp; allow
+        # one 1e-6 step of disagreement only when x sits within an ulp
+        # of a .5 boundary, else require exactness
+        if abs(g - want) > 1e-12:
+            frac = abs(x) * 1e6 % 1
+            assert abs(frac - 0.5) < 1e-9 and abs(g - want) <= 1e-6 + 1e-12
+    assert np.all(got == -_round_half_up6(-np.array(xs)))   # odd symmetry
+
+
+@given(st.lists(st.floats(min_value=-0.999, max_value=0.999,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=200),
+       st.sampled_from([1, 2]))
+@settings(deadline=None, max_examples=40)
+def test_wav_pcm16_roundtrip_property(samples, channels):
+    """decode(encode(x)) recovers 16-bit PCM within quantization for
+    any sample vector and channel count."""
+    import numpy as np
+
+    from weak_supervision_for_ner_spark.operators.multimodal import decode_wav_pcm
+    from tests.test_dataops import _wav_bytes
+
+    n = len(samples) // channels * channels
+    if n == 0:
+        return
+    samples = samples[:n]
+    out = decode_wav_pcm(_wav_bytes(samples, channels=channels))
+    assert out.shape == (n // channels, channels)
+    assert np.allclose(out.ravel(), samples, atol=1.0 / 32767 + 1e-9)
+
+
+@given(st.integers(1, 6), st.integers(1, 6), st.sampled_from([255, 65535]),
+       st.randoms())
+@settings(deadline=None, max_examples=40)
+def test_ppm_roundtrip_property(w, h, maxval, rnd):
+    """P6 decode recovers the luma mean for 8- AND 16-bit rasters (the
+    16-bit big-endian path has no other test)."""
+    import numpy as np
+
+    from weak_supervision_for_ner_spark.operators.multimodal import decode_ppm
+
+    vals = [[rnd.randint(0, maxval) for _ in range(3)]
+            for _ in range(w * h)]
+    arr = np.array(vals).reshape(h, w, 3)
+    raster = arr.astype(">u2" if maxval > 255 else np.uint8).tobytes()
+    payload = f"P6 {w} {h} {maxval}\n".encode() + raster
+    out = decode_ppm(payload)
+    assert out.shape == (h, w)
+    assert np.allclose(out, arr.mean(axis=2) / maxval, atol=1e-6)
+
+
+@given(st.lists(st.integers(0, 5), min_size=1, max_size=4), st.randoms())
+@settings(deadline=None, max_examples=40)
+def test_crowd_chunk_order_invariance(token_idxs, rnd):
+    """parse_annotated_text must give the same spans regardless of the
+    chunk order in the annotated_text string (the reference sorts
+    before merging)."""
+    from weak_supervision_for_ner_spark.functions.tokenizer import (
+        tokenize_with_offsets,
+    )
+    from weak_supervision_for_ner_spark.sources.crowd import parse_annotated_text
+
+    sent = "Alpha Beta Gamma Delta Epsilon Zeta"
+    toks, offs = tokenize_with_offsets(sent)
+    lens = [len(t) for t in toks]
+    chunks = [f"{offs[i]}-{offs[i] + lens[i] - 1}/org"
+              for i in sorted(set(token_idxs))]
+    shuffled = chunks[:]
+    rnd.shuffle(shuffled)
+    a = parse_annotated_text(" ".join(chunks), sent, offs, lens)
+    b = parse_annotated_text(" ".join(shuffled), sent, offs, lens)
+    assert a == b
