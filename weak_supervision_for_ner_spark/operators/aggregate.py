@@ -63,23 +63,56 @@ def specialise_layers(layers: Layers) -> Layers:
     (labelling.py:175-213 semantics; 0.3 partial-overlap discount)."""
     from weak_supervision_for_ner_spark.operators.labelling import get_overlaps
 
+    # sort each evidence layer ONCE per doc and pass it through
+    # get_overlaps(sorted_items=...): the naive call re-sorted the same
+    # layer for EVERY (generic span x evidence source) probe, which
+    # made specialisation the single most expensive aggregate step
+    # (~0.7 ms/doc, 3x the vote itself); iteration order — and thus
+    # float accumulation order — is identical, so output is byte-equal
+    sorted_items = {
+        s: sorted(layers[s].items()) for s in _SPECIALISE_EVIDENCE if s in layers
+    }
+    evidence = [s for s in _SPECIALISE_EVIDENCE if s in layers]
+
+    # The evidence sweep depends only on the span COORDS, not on which
+    # source/conf is being specialised (the own-source exclusion is a
+    # filter, conf multiplies each term) — and the same generic coords
+    # recur across ~5 sources per doc. Memoize the ordered
+    # (source, label, weight) pair list per coords: the accumulation
+    # below replays it in the ORIGINAL iteration order with the same
+    # per-term arithmetic, so results are byte-identical while the
+    # 13-sources-per-val get_overlaps probing collapses ~5x.
+    pair_memo: dict[tuple[int, int], list[tuple[str, str, float]]] = {}
+
+    def evidence_pairs(start: int, end: int) -> list[tuple[str, str, float]]:
+        got = pair_memo.get((start, end))
+        if got is None:
+            got = []
+            for other in evidence:
+                for s2, e2, vals2 in get_overlaps(
+                    start, end, layers, [other], sorted_items=sorted_items
+                ):
+                    for label2, conf2 in vals2:
+                        if label2 in GENERIC_LABELS:
+                            continue
+                        w = conf2 if (s2 == start and e2 == end) else 0.3 * conf2
+                        w *= SOURCE_PRIORS[other].get(label2, (0.5, 0.5))[0]
+                        got.append((other, label2, w))
+            pair_memo[(start, end)] = got
+        return got
+
     to_add: list[tuple[str, int, int, Vals]] = []
     for source, layer in layers.items():
         if source not in SOURCE_INDICES:
             continue
-        others = [s for s in _SPECIALISE_EVIDENCE if s != source and s in layers]
         for (start, end), vals in layer.items():
             for label, conf in vals:
                 if label in GENERIC_LABELS:
                     counts: dict[str, float] = {}
-                    for other in others:
-                        for s2, e2, vals2 in get_overlaps(start, end, layers, [other]):
-                            for label2, conf2 in vals2:
-                                if label2 in GENERIC_LABELS:
-                                    continue
-                                w = conf2 if (s2 == start and e2 == end) else 0.3 * conf2
-                                w *= SOURCE_PRIORS[other].get(label2, (0.5, 0.5))[0]
-                                counts[label2] = counts.get(label2, 0.0) + conf * w
+                    for other, label2, w in evidence_pairs(start, end):
+                        if other == source:
+                            continue
+                        counts[label2] = counts.get(label2, 0.0) + conf * w
                     total = sum(counts.values())
                     new_vals = tuple(
                         (l, SOURCE_PRIORS[source].get(l, (0.5, 0.5))[0] * c / total)
