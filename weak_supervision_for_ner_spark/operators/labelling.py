@@ -556,6 +556,23 @@ def standardise(doc: Doc) -> None:
     """PER->PERSON rewrite; LOC->GPE / ORG->COMPANY when a same-span
     annotation in the designated layers says so."""
     for source in list(doc.layers):
+        # skip layers no rule can touch: only PER (any layer),
+        # LOC/ORG (doc_majority*) and ORG (wiki_*) ever rewrite, and a
+        # rebuild of an untouched layer is an identity round-trip
+        # through doc.add — pure overhead on the ~90% of layers with
+        # nothing to rewrite (standardise runs twice per doc)
+        dm = source.startswith("doc_majority")
+        rewritable = {"PER"}
+        if dm:
+            rewritable |= {"LOC", "ORG"}
+        elif "wiki_" in source:
+            rewritable.add("ORG")
+        if not any(
+            label in rewritable
+            for vals in doc.layers[source].values()
+            for label, _ in vals
+        ):
+            continue
         current = dict(doc.layers[source])
         doc.clear(source)
         for span, vals in current.items():
