@@ -156,6 +156,11 @@ def sequence_from_spans(spans: list, n_tokens: int) -> np.ndarray:
 # Majority voter (labelling.py:503-531)
 # ---------------------------------------------------------------------------
 
+# per-label (B, I, L, U) state-index cache: the sparse vote previously
+# rebuilt f-string keys per token per span — pure overhead on the hot path
+_BILUO_STATE_CACHE: dict[str, tuple[int, int, int, int]] = {}
+
+
 def majority_vote_sparse(layers: Layers, n_tokens: int, nb_sources_threshold: int = 4):
     """Sparse majority vote, identical semantics to
     ``majority_vote(extract_sequence(layers))`` but computed from the
@@ -169,6 +174,7 @@ def majority_vote_sparse(layers: Layers, n_tokens: int, nb_sources_threshold: in
     no span vote O."""
     # best[(t, s)] = (conf, -state) maximum => argmax with min-index tie-break
     best: dict[int, tuple[float, int]] = {}
+    biluo = _BILUO_STATE_CACHE
     for source, layer in layers.items():
         si = SOURCE_INDICES.get(source)
         if si is None:
@@ -181,14 +187,18 @@ def majority_vote_sparse(layers: Layers, n_tokens: int, nb_sources_threshold: in
                 # conf <= 0 cells lose the dense argmax to O — skip them
                 if label in GENERIC_LABELS or conf <= 0:
                     continue
+                states4 = biluo.get(label)
+                if states4 is None:
+                    states4 = biluo[label] = (
+                        LABEL_INDICES[f"B-{label}"], LABEL_INDICES[f"I-{label}"],
+                        LABEL_INDICES[f"L-{label}"], LABEL_INDICES[f"U-{label}"],
+                    )
+                b_st, i_st, l_st, u_st = states4
                 if end - start == 1:
-                    positioned = ((start, LABEL_INDICES[f"U-{label}"]),)
+                    positioned = ((start, u_st),)
                 else:
                     positioned = tuple(
-                        (t, LABEL_INDICES[
-                            f"B-{label}" if t == start
-                            else (f"L-{label}" if t == end - 1 else f"I-{label}")
-                        ])
+                        (t, b_st if t == start else (l_st if t == end - 1 else i_st))
                         for t in range(start, end)
                     )
                 for t, state in positioned:
