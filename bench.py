@@ -109,6 +109,20 @@ def q_ann_ivf_np(entrymod):
     return fn
 
 
+def _wait_for_idle(threshold: float, max_wait: float, step: float,
+                   what: str) -> float:
+    """Poll the 1-minute load until it drops below ``threshold`` or
+    ``max_wait`` elapses; returns the load at exit. One protocol for
+    every timed phase — a loaded box certifies nothing."""
+    waited = 0.0
+    while os.getloadavg()[0] >= threshold and waited < max_wait:
+        print(f"# load {os.getloadavg()[0]:.1f} >= {threshold:.1f}; "
+              f"waiting before {what} ({waited:.0f}s)", file=sys.stderr)
+        time.sleep(step)
+        waited += step
+    return round(os.getloadavg()[0], 2)
+
+
 def main() -> None:
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -121,13 +135,7 @@ def main() -> None:
     load_threshold = float(
         os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", cores / 4)
     )
-    waited = 0.0
-    while os.getloadavg()[0] >= load_threshold and waited < max_wait:
-        print(f"# load {os.getloadavg()[0]:.1f} >= {load_threshold:.1f}; "
-              f"waiting for idle box ({waited:.0f}s)", file=sys.stderr)
-        time.sleep(10)
-        waited += 10
-    load_at_start = round(os.getloadavg()[0], 2)
+    load_at_start = _wait_for_idle(load_threshold, max_wait, 10, "the query sweep")
     load_warning = load_at_start >= load_threshold
     if load_warning:
         print(f"# WARNING: box never went idle (load {load_at_start}); "
@@ -251,14 +259,8 @@ def main() -> None:
         scale_wait = float(
             os.environ.get("SPARK_GRAFT_SCALE_WAIT_S", max_wait * 2)
         )
-        waited = 0.0
-        while os.getloadavg()[0] >= scale_load_max and waited < scale_wait:
-            print(f"# load {os.getloadavg()[0]:.1f} >= {scale_load_max:.1f}; "
-                  f"waiting before the scaling pair ({waited:.0f}s)",
-                  file=sys.stderr)
-            time.sleep(15)
-            waited += 15
-        load_before_scaling = round(os.getloadavg()[0], 2)
+        load_before_scaling = _wait_for_idle(
+            scale_load_max, scale_wait, 15, "the scaling pair")
         try:
             lo = scaling_bench.run_level(scale_n, scale_docs)
             hi = scaling_bench.run_level(4 * scale_n, scale_docs)

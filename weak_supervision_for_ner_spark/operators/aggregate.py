@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 
 from weak_supervision_for_ner_spark.schema import (
     GENERIC_LABELS,
+    LABELS,
     LABEL_INDICES,
     MENTIONS_SCHEMA,
     POSITIONED_LABELS,
@@ -156,9 +157,14 @@ def sequence_from_spans(spans: list, n_tokens: int) -> np.ndarray:
 # Majority voter (labelling.py:503-531)
 # ---------------------------------------------------------------------------
 
-# per-label (B, I, L, U) state-index cache: the sparse vote previously
-# rebuilt f-string keys per token per span — pure overhead on the hot path
-_BILUO_STATE_CACHE: dict[str, tuple[int, int, int, int]] = {}
+# per-label (B, I, L, U) state-index table, precomputed over the closed
+# schema label set: the sparse vote previously rebuilt f-string keys per
+# token per span — pure overhead on the hot path. A non-schema label
+# raising KeyError here is correct: it could never enter the 77-state
+# tensor either.
+_BILUO_STATES: dict[str, tuple[int, int, int, int]] = {
+    lab: tuple(LABEL_INDICES[f"{p}-{lab}"] for p in "BILU") for lab in LABELS
+}
 
 
 def majority_vote_sparse(layers: Layers, n_tokens: int, nb_sources_threshold: int = 4):
@@ -168,13 +174,17 @@ def majority_vote_sparse(layers: Layers, n_tokens: int, nb_sources_threshold: in
     (T, sources, states) tensor whose memory traffic dominates and
     caps multi-core scaling. Call on specialised layers.
 
-    Replicates the dense argmax exactly: per (token, source) the vote
-    is the positioned label with max confidence, ties broken by the
-    SMALLEST state index (np.argmax first-max rule); tokens covered by
-    no span vote O."""
-    # best[(t, s)] = (conf, -state) maximum => argmax with min-index tie-break
-    best: dict[int, tuple[float, int]] = {}
-    biluo = _BILUO_STATE_CACHE
+    Replicates the dense tensor EXACTLY, including its write semantics:
+    when several spans of one source write the same (token, state) cell
+    the LAST write wins (dict iteration order — the dense assignment
+    overwrites), and the per-(token, source) argmax then runs over cell
+    VALUES with np.argmax's first-max tie-break (smallest state index;
+    cells <= 0 lose to the zeroed O cell). Tokens covered by no
+    non-generic span vote O."""
+    # cells[(t * N_SOURCES + si) * N_STATES + state] = conf, LAST write
+    # wins — the dense X[t, si, state] = conf assignment
+    cells: dict[int, float] = {}
+    biluo = _BILUO_STATES
     for source, layer in layers.items():
         si = SOURCE_INDICES.get(source)
         if si is None:
@@ -184,28 +194,27 @@ def majority_vote_sparse(layers: Layers, n_tokens: int, nb_sources_threshold: in
                 continue
             end = min(end, n_tokens)
             for label, conf in vals:
-                # conf <= 0 cells lose the dense argmax to O — skip them
-                if label in GENERIC_LABELS or conf <= 0:
+                if label in GENERIC_LABELS:
                     continue
-                states4 = biluo.get(label)
-                if states4 is None:
-                    states4 = biluo[label] = (
-                        LABEL_INDICES[f"B-{label}"], LABEL_INDICES[f"I-{label}"],
-                        LABEL_INDICES[f"L-{label}"], LABEL_INDICES[f"U-{label}"],
-                    )
-                b_st, i_st, l_st, u_st = states4
+                b_st, i_st, l_st, u_st = biluo[label]
+                base = start * N_SOURCES + si
                 if end - start == 1:
-                    positioned = ((start, u_st),)
-                else:
-                    positioned = tuple(
-                        (t, b_st if t == start else (l_st if t == end - 1 else i_st))
-                        for t in range(start, end)
-                    )
-                for t, state in positioned:
-                    key = t * N_SOURCES + si
-                    cur = best.get(key)
-                    if cur is None or (conf, -state) > cur:
-                        best[key] = (conf, -state)
+                    cells[base * N_STATES + u_st] = conf
+                    continue
+                for t in range(start, end):
+                    state = b_st if t == start else (l_st if t == end - 1 else i_st)
+                    cells[(t * N_SOURCES + si) * N_STATES + state] = conf
+
+    # best[(t, s)] = (conf, -state) maximum => argmax with min-index
+    # tie-break over the surviving cell values
+    best: dict[int, tuple[float, int]] = {}
+    for key, conf in cells.items():
+        if conf <= 0:
+            continue  # loses the dense argmax to the 0.0 O cell
+        tsi, state = divmod(key, N_STATES)
+        cur = best.get(tsi)
+        if cur is None or (conf, -state) > cur:
+            best[tsi] = (conf, -state)
 
     counts = np.zeros((n_tokens, N_STATES))
     counts[:, 0] = N_SOURCES

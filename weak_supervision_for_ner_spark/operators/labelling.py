@@ -552,6 +552,19 @@ COMPANY_SOURCES = [
 ]
 
 
+def _standardise_rewritable(source: str) -> set[str]:
+    """The labels standardise's rule body below can rewrite for this
+    source — THE single place encoding that knowledge; keep in lockstep
+    with the rule conditions in the loop (a new rule family must extend
+    this, or the skip fast-path will silently bypass it)."""
+    rewritable = {"PER"}
+    if source.startswith("doc_majority"):
+        rewritable |= {"LOC", "ORG"}
+    elif "wiki_" in source:
+        rewritable.add("ORG")
+    return rewritable
+
+
 def standardise(doc: Doc) -> None:
     """PER->PERSON rewrite; LOC->GPE / ORG->COMPANY when a same-span
     annotation in the designated layers says so."""
@@ -560,17 +573,17 @@ def standardise(doc: Doc) -> None:
         # LOC/ORG (doc_majority*) and ORG (wiki_*) ever rewrite, and a
         # rebuild of an untouched layer is an identity round-trip
         # through doc.add — pure overhead on the ~90% of layers with
-        # nothing to rewrite (standardise runs twice per doc)
-        dm = source.startswith("doc_majority")
-        rewritable = {"PER"}
-        if dm:
-            rewritable |= {"LOC", "ORG"}
-        elif "wiki_" in source:
-            rewritable.add("ORG")
+        # nothing to rewrite (standardise runs twice per doc). The one
+        # exception to "identity": doc.add re-renormalises a span whose
+        # conf mass exceeds 1.0 (possible by a float ulp after a
+        # build-time renorm), so such layers still take the rebuild —
+        # skipping them would drift from the historical output by an
+        # ulp, which the (conf, tie-break) vote could amplify.
+        rewritable = _standardise_rewritable(source)
         if not any(
-            label in rewritable
+            any(label in rewritable for label, _ in vals)
+            or (len(vals) > 1 and sum(c for _, c in vals) > 1.0)
             for vals in doc.layers[source].values()
-            for label, _ in vals
         ):
             continue
         current = dict(doc.layers[source])
