@@ -264,3 +264,86 @@ def test_crowd_chunk_order_invariance(token_idxs, rnd):
     a = parse_annotated_text(" ".join(chunks), sent, offs, lens)
     b = parse_annotated_text(" ".join(shuffled), sent, offs, lens)
     assert a == b
+
+
+def test_sparse_vote_overwrite_semantics_match_dense():
+    """Same-source overlapping spans writing the same (token, state)
+    cell: the dense tensor's assignment is last-write-wins, and the
+    sparse vote must replicate it (it previously kept the max conf —
+    picking L-PERSON 0.9 where the dense path votes L-COMPANY 0.5)."""
+    import numpy as np
+
+    from weak_supervision_for_ner_spark.operators.aggregate import (
+        extract_sequence,
+        majority_vote,
+        majority_vote_sparse,
+    )
+    from weak_supervision_for_ner_spark.schema import SOURCE_NAMES
+
+    src = SOURCE_NAMES[0]
+    layers = {src: {(0, 3): (("PERSON", 0.9),),
+                    (1, 3): (("PERSON", 0.2), ("COMPANY", 0.5))}}
+    sp = majority_vote_sparse({k: dict(v) for k, v in layers.items()}, 3, 1)
+    de = majority_vote(extract_sequence({k: dict(v) for k, v in layers.items()}, 3), 1)
+    assert np.array_equal(sp[0], de[0])
+    assert np.allclose(sp[1], de[1])
+
+
+@given(st.randoms())
+@settings(deadline=None, max_examples=60)
+def test_sparse_vote_equals_dense_fuzz(rnd):
+    """Randomized sparse == dense parity incl. overlapping spans,
+    zero/negative confidences and generic labels."""
+    import numpy as np
+
+    from weak_supervision_for_ner_spark.operators.aggregate import (
+        extract_sequence,
+        majority_vote,
+        majority_vote_sparse,
+    )
+    from weak_supervision_for_ner_spark.schema import LABELS, SOURCE_NAMES
+
+    n_tok = rnd.randint(1, 10)
+    layers = {}
+    for _ in range(rnd.randint(1, 5)):
+        layer = layers.setdefault(rnd.choice(SOURCE_NAMES), {})
+        for _ in range(rnd.randint(1, 4)):
+            s = rnd.randint(0, n_tok - 1)
+            e = rnd.randint(s + 1, n_tok)
+            layer[(s, e)] = tuple(
+                (rnd.choice(LABELS + ["ENT", "MISC"]),
+                 rnd.choice([-0.1, 0.0, 0.2, 0.5, 0.5, 0.9, 1.0]))
+                for _ in range(rnd.randint(1, 3))
+            )
+    th = rnd.randint(1, 4)
+    sp = majority_vote_sparse(layers, n_tok, th)
+    de = majority_vote(extract_sequence(layers, n_tok), th)
+    assert np.array_equal(sp[0], de[0])
+    assert np.allclose(sp[1], de[1], atol=1e-6)
+
+
+def test_standardise_rebuilds_over_unit_conf_mass():
+    """A layer whose span conf mass exceeds 1.0 by a float ulp must
+    still take the rebuild (doc.add re-renormalises it) even when no
+    label is rewritable — the skip fast-path may only bypass true
+    identity round-trips."""
+    from weak_supervision_for_ner_spark.operators import labelling as lb
+
+    doc = lb.Doc("alpha beta gamma")
+    doc.clear("legal_detector")
+    # three adds force two renormalisations; the stored mass can sit at
+    # 1.0 + ulp, which a rebuild renormalises again
+    for lab, c in (("LAW", 0.7), ("DATE", 0.6), ("MONEY", 0.5)):
+        doc.add("legal_detector", 0, 2, lab, c)
+    before = dict(doc.layers["legal_detector"])
+    lb.standardise(doc)
+    after = doc.layers["legal_detector"]
+    total = sum(c for _, c in after[(0, 2)])
+    assert total <= 1.0 + 1e-9
+    # and the rebuild applied doc.add's renorm exactly like the
+    # historical full-rebuild standardise did
+    doc2 = lb.Doc("alpha beta gamma")
+    doc2.clear("legal_detector")
+    for lab, c in before[(0, 2)]:
+        doc2.add("legal_detector", 0, 2, lab, c)
+    assert after == doc2.layers["legal_detector"]
