@@ -432,6 +432,31 @@ def q_quality_scores(spark, sf_dir):
     return quality_scores(_t(spark, sf_dir, "documents"))
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII scrub (training-data pipeline op): emails / IPv4 / phone
+    numbers replaced by typed tokens in one codegen'd projection, with
+    per-doc pre-scrub match counts. Patterns stay in the Java∩RE2
+    regex subset so the DuckDB oracle reproduces the scrub
+    byte-for-byte. The fixture corpus carries no natural PII (all
+    counts 0 = a vacuous gate), so every 7th doc gets a deterministic
+    email+IP+phone suffix derived from its id — reproduced in the SQL
+    — making the gate certify real redactions."""
+    from weak_supervision_for_ner_spark.operators.textstats import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                "text", F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com via 10.0."), (F.col("doc_id") % 250).cast("string"),
+                F.lit(".1 or +47 2233 44"), (10 + F.col("doc_id") % 89).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return redact_pii(docs)
+
+
 def q_token_counts(spark, sf_dir):
     from weak_supervision_for_ner_spark.operators.textstats import token_counts
 
@@ -867,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
+        "redact_pii": q_redact_pii,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
         "form_frequencies": q_form_frequencies,
@@ -1259,6 +1285,31 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN b.mh > 0 THEN MIN(h.lang) ELSE 'und' END AS lang_guess
         FROM hits h JOIN best b ON h.doc_id = b.doc_id AND (h.h = b.mh)
         GROUP BY h.doc_id, b.mh
+    """
+
+    # the three patterns and their order MUST mirror
+    # textstats.PII_PATTERNS (emails first — they contain dots that
+    # would otherwise feed the looser patterns)
+    sql["redact_pii"] = """
+        WITH pdocs AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN text
+                        || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com via 10.0.' || CAST(doc_id % 250 AS VARCHAR)
+                        || '.1 or +47 2233 44' || CAST(10 + doc_id % 89 AS VARCHAR)
+                   ELSE text END AS text
+            FROM documents)
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+            '\\+\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g') AS redacted,
+          len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) AS n_email,
+          len(regexp_extract_all(text,
+            '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+          len(regexp_extract_all(text, '\\+\\d[\\d\\- ]{7,}\\d')) AS n_phone
+        FROM pdocs
     """
 
     sql["quality_scores"] = """

@@ -607,3 +607,40 @@ def test_zero_vector_never_ranks_first_in_either_kernel(spark):
     assert jvm == npk
     assert jvm[0][1] == 2                      # real neighbor first
     assert all(r[1] != 3 or r[2] == 0.0 for r in jvm)   # zero vec scores 0
+
+
+def test_redact_pii_scrubs_and_counts(spark):
+    from weak_supervision_for_ner_spark.operators.textstats import redact_pii
+
+    rows = [
+        (1, "mail me at a.b-c+x@example.co.uk or 10.0.0.1 now"),
+        (2, "call +47 22 33 44 55 or +1-800-555-0199 ok"),
+        (3, "version 1.2.3.4 of pkg; not-an-email @ test; 999.999.999.999"),
+        (4, "no pii here at all"),
+        (5, "x@y.io x@y.io 1.2.3.4 +123456789012"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert got[1]["redacted"] == "mail me at <EMAIL> or <IP> now"
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (1, 1, 0)
+    assert got[2]["redacted"] == "call <PHONE> or <PHONE> ok"
+    assert got[2]["n_phone"] == 2
+    # the conservative patterns leave version strings alone only when
+    # they are not dotted-quad shaped; 1.2.3.4 IS quad-shaped -> <IP>,
+    # while the out-of-range 999 quad still matches the syntactic rule
+    assert got[3]["redacted"] == "version <IP> of pkg; not-an-email @ test; <IP>"
+    assert got[4]["redacted"] == "no pii here at all"
+    assert (got[4]["n_email"], got[4]["n_ipv4"], got[4]["n_phone"]) == (0, 0, 0)
+    assert got[5]["redacted"] == "<EMAIL> <EMAIL> <IP> <PHONE>"
+    assert (got[5]["n_email"], got[5]["n_ipv4"], got[5]["n_phone"]) == (2, 1, 1)
+
+
+def test_redact_pii_plan_is_codegen_projection(spark):
+    """The scrub must stay a single codegen'd map over the scan — no
+    UDF, no shuffle (at 100 TB this is a pure projection)."""
+    from weak_supervision_for_ner_spark.operators.textstats import redact_pii
+
+    docs = spark.createDataFrame([(1, "x@y.io")], "doc_id long, text string")
+    plan = redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan

@@ -171,3 +171,47 @@ def fingerprints(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(F.col(text_col)).alias("md5_exact"),
         F.md5(F.trim(norm)).alias("md5_normalized"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data pipeline op: scrub a pretraining corpus
+# before tokenization). Pure built-ins — regexp_replace chains run in
+# whole-stage codegen, and the patterns stay within the regex subset
+# Java (Spark) and RE2 (DuckDB) interpret identically so the driver
+# oracle can reproduce the scrub byte-for-byte.
+# ---------------------------------------------------------------------------
+
+# applied IN THIS ORDER (emails contain dots that would otherwise feed
+# the looser patterns; order must match any reimplementation exactly)
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails, IPv4 addresses and international-format phone
+    numbers from ``text_col``: (doc_id, redacted, n_email, n_ipv4,
+    n_phone). Counts are per-doc match counts BEFORE scrubbing, so the
+    redaction volume is observable in lineage, never silent.
+
+    One codegen'd projection — no UDF, no shuffle; at 100 TB this is a
+    pure map over the corpus scan. The conservative phone pattern
+    (+-prefixed, >= 9 digits/separators) trades recall for a near-zero
+    false-positive rate on numerics-heavy web text; swap patterns per
+    policy, keeping to the Java∩RE2 regex subset if the DuckDB oracle
+    must keep certifying the scrub."""
+    out = documents.select(F.col("doc_id"), F.col(text_col).alias("redacted"))
+    counts = []
+    for name, pattern, token in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all("redacted", F.lit(pattern), F.lit(0)))
+            .alias(f"n_{name}")
+        )
+    # counts computed on the ORIGINAL text (sequentially-scrubbed text
+    # would hide overlaps), scrub applied in declared order
+    out = out.select("doc_id", "redacted", *counts)
+    for name, pattern, token in PII_PATTERNS:
+        out = out.withColumn("redacted", F.regexp_replace("redacted", pattern, token))
+    return out.select("doc_id", "redacted", "n_email", "n_ipv4", "n_phone")
