@@ -457,6 +457,27 @@ def q_redact_pii(spark, sf_dir):
     return redact_pii(docs)
 
 
+def q_drop_boilerplate(spark, sf_dir):
+    """Corpus-level boilerplate line removal (the CCNet/RefinedWeb
+    line-dedup step): lines appearing verbatim in >= 2 distinct docs
+    are deleted, order preserved, drop counts observable. The fixture
+    docs are single-line, so the gate derives 60-char-chunk 'lines' in
+    both engines — the corpus' repeated prefixes (the dedup_exact
+    groups) then form REAL cross-doc boilerplate, so the gate certifies
+    actual removals, not an empty pass."""
+    from weak_supervision_for_ner_spark.operators.dedup import drop_boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 60), F.substring("text", 61, 60),
+            F.substring("text", 121, 60), F.substring("text", 181, 60),
+        ).alias("text"),
+    )
+    return drop_boilerplate_lines(docs, min_docs=2)
+
+
 def q_token_counts(spark, sf_dir):
     from weak_supervision_for_ner_spark.operators.textstats import token_counts
 
@@ -893,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "redact_pii": q_redact_pii,
+        "drop_boilerplate": q_drop_boilerplate,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
         "form_frequencies": q_form_frequencies,
@@ -1285,6 +1307,39 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN b.mh > 0 THEN MIN(h.lang) ELSE 'und' END AS lang_guess
         FROM hits h JOIN best b ON h.doc_id = b.doc_id AND (h.h = b.mh)
         GROUP BY h.doc_id, b.mh
+    """
+
+    sql["drop_boilerplate"] = """
+        WITH chunked AS (
+            SELECT doc_id,
+                   substr(text, 1, 60) || chr(10) || substr(text, 61, 60)
+                   || chr(10) || substr(text, 121, 60)
+                   || chr(10) || substr(text, 181, 60) AS text
+            FROM documents),
+        lines AS (
+            SELECT doc_id, pos, line FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos
+                FROM chunked)
+            WHERE length(trim(line)) > 0),
+        common AS (
+            SELECT line FROM (
+                SELECT line, COUNT(DISTINCT doc_id) AS nd
+                FROM lines GROUP BY line)
+            WHERE nd >= 2),
+        kept AS (SELECT l.* FROM lines l ANTI JOIN common c USING (line)),
+        re AS (
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(re.cleaned, '') AS cleaned,
+               COALESCE(tot.n_lines, 0) AS n_lines,
+               COALESCE(tot.n_lines, 0) - COALESCE(re.n_kept, 0) AS n_dropped
+        FROM documents d
+        LEFT JOIN tot ON d.doc_id = tot.doc_id
+        LEFT JOIN re ON d.doc_id = re.doc_id
     """
 
     # the three patterns and their order MUST mirror

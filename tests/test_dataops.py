@@ -644,3 +644,23 @@ def test_redact_pii_plan_is_codegen_projection(spark):
     plan = redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_drop_boilerplate_lines(spark):
+    from weak_supervision_for_ner_spark.operators.dedup import drop_boilerplate_lines
+
+    rows = [
+        (1, "cookie banner\nunique one\nfooter text"),
+        (2, "cookie banner\nunique two\nfooter text"),
+        (3, "all original\ncontent here"),
+        (4, "cookie banner\nfooter text"),          # fully boilerplate
+        (5, "  \nunique five"),                      # empty line ignored
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in drop_boilerplate_lines(docs, min_docs=2).collect()}
+    assert got[1]["cleaned"] == "unique one" and got[1]["n_dropped"] == 2
+    assert got[2]["cleaned"] == "unique two" and got[2]["n_dropped"] == 2
+    assert got[3]["cleaned"] == "all original\ncontent here"   # order kept
+    assert got[3]["n_dropped"] == 0
+    assert got[4]["cleaned"] == "" and got[4]["n_dropped"] == 2
+    assert got[5]["cleaned"] == "unique five" and got[5]["n_lines"] == 1

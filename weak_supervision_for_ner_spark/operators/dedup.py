@@ -526,3 +526,61 @@ def drop_near_duplicates(
         F.col("name").alias("doc_id")
     )
     return collapsed.join(losers, "doc_id", "left_anti")
+
+
+def drop_boilerplate_lines(
+    documents: DataFrame, min_docs: int = 2, text_col: str = "text",
+    sep: str = "\n", id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the CCNet/RefinedWeb line-dedup
+    step): delete every line that appears verbatim in >= ``min_docs``
+    DISTINCT documents (nav bars, cookie banners, license footers),
+    preserving the remaining lines' order.
+
+    Returns (doc_id, cleaned, n_lines, n_dropped) — the drop count per
+    doc keeps the removal volume observable, never silent.
+
+    Shape at 100 TB: explode -> one partial-aggregated
+    countDistinct(doc) per line (boilerplate's defining property is
+    high frequency, so the agg output is heavy-hitters-small even when
+    the corpus is not) -> anti-join survivors -> re-assemble per doc.
+    Empty lines are dropped up front: they are both meaningless
+    "boilerplate" and the one guaranteed mega-group key."""
+    lines = (
+        documents
+        .select(F.col(id_col), F.posexplode(F.split(F.col(text_col), sep))
+                .alias("pos", "line"))
+        .filter(F.length(F.trim("line")) > 0)
+    )
+    common = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(common, "line", "left_anti")
+    reassembled = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("ordered"),
+        )
+        .select(
+            id_col,
+            F.concat_ws(sep, F.expr("transform(ordered, x -> x.line)"))
+            .alias("cleaned"),
+            F.size("ordered").alias("n_kept"),
+        )
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        documents.select(id_col)
+        .join(totals, id_col, "left")
+        .join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            (F.coalesce("n_lines", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .alias("n_dropped"),
+        )
+    )
