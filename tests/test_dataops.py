@@ -664,3 +664,17 @@ def test_drop_boilerplate_lines(spark):
     assert got[3]["n_dropped"] == 0
     assert got[4]["cleaned"] == "" and got[4]["n_dropped"] == 2
     assert got[5]["cleaned"] == "unique five" and got[5]["n_lines"] == 1
+
+
+def test_drop_boilerplate_plan_partial_agg_no_cartesian(spark):
+    """Scale audit: the per-line frequency count must partial-aggregate
+    map-side (heavy-hitter shape at 100 TB) and the anti-join must not
+    degrade to a cartesian product."""
+    from weak_supervision_for_ner_spark.operators.dedup import drop_boilerplate_lines
+
+    docs = spark.createDataFrame([(1, "a\nb"), (2, "a\nc")],
+                                 "doc_id long, text string")
+    plan = drop_boilerplate_lines(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_" in plan                  # map-side combine present
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
