@@ -635,8 +635,12 @@ def q_eval_logloss(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# pages-pipeline queries (UDF-heavy; rows-only driver check, exact
-# parity asserted in tests/ against the single-node oracle)
+# pages-pipeline queries (UDF-heavy). Every one is hash-gated against
+# a materialized single-node-oracle fixture (scripts/
+# make_oracle_fixtures.py) — including the full KG graph, whose oracle
+# reproduces the minhash-LSH canonicalization via a bit-exact
+# pure-python xxhash64 mirror. Exact parity is additionally asserted
+# in tests/ at smaller scales.
 # ---------------------------------------------------------------------------
 
 def q_pages_mentions(spark, sf_dir):
@@ -666,6 +670,10 @@ def q_pages_hmm(spark, sf_dir):
 
 
 def q_pages_triples(spark, sf_dir):
+    """Flagship end-to-end graph (majority path). Hash-gated against
+    fixtures/oracle_triples_sf0.01.parquet — the single-node oracle's
+    re-run of the ENTIRE pipeline including LSH canonicalization
+    (plans/oracle.py:oracle_graph)."""
     from weak_supervision_for_ner_spark.plans.pipeline import run_kg_pipeline
 
     _, _, graph = run_kg_pipeline(spark, _pages(spark, sf_dir), aggregator="majority")
@@ -1689,6 +1697,8 @@ def oracle_sql() -> dict[str, str]:
         "eval_corrected": os.path.join(_fix_dir, "oracle_eval_corrected_sf0.01.parquet"),
         "eval_hmm": os.path.join(_fix_dir, "oracle_eval_hmm_sf0.01.parquet"),
         "eval_snorkel": os.path.join(_fix_dir, "oracle_eval_snorkel_sf0.01.parquet"),
+        "triples": os.path.join(_fix_dir, "oracle_triples_sf0.01.parquet"),
+        "kg_quality": os.path.join(_fix_dir, "oracle_kg_quality_sf0.01.parquet"),
     }
     if all(os.path.isfile(p) for p in _fix.values()):
         sql["pages_mentions"] = f"""
@@ -1714,6 +1724,19 @@ def oracle_sql() -> dict[str, str]:
         sql["pages_snorkel"] = f"""
             SELECT url, source, start, "end", label, conf, text
             FROM read_parquet('{_fix["snorkel"]}')
+        """
+        # End-to-end graph: the single-node oracle re-runs the whole
+        # majority pipeline including the minhash-LSH canonicalization
+        # (bit-exact pure-python xxhash64 mirror, fuzz-verified against
+        # F.xxhash64 in tests/test_xxhash64.py)
+        sql["pages_triples"] = f"""
+            SELECT subj, subj_type, pred, obj, obj_type, url, conf,
+                   subj_id, obj_id
+            FROM read_parquet('{_fix["triples"]}')
+        """
+        sql["pages_kg_quality"] = f"""
+            SELECT n_predicted, n_gold, tp, precision, recall
+            FROM read_parquet('{_fix["kg_quality"]}')
         """
         for _ev in ("mv", "corrected", "hmm", "snorkel"):
             sql[f"pages_eval_{_ev}"] = (

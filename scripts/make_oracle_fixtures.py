@@ -244,6 +244,68 @@ def main() -> None:
             gold_rows.append((page["url"], s, e, label))
     print(f"gold: {len(gold_rows)} rows")
 
+    # Full end-to-end KG graph (majority path, truecase + correction —
+    # run_kg_pipeline's defaults): annotate → vote → correct → SVO →
+    # link → minhash-LSH canonicalize (bit-exact xxhash64 mirror) →
+    # dedup. This is the fixture that upgrades pages_triples from
+    # rows-only to a full hash gate.
+    from weak_supervision_for_ner_spark.plans.oracle import oracle_graph
+
+    graph_rows = sorted(oracle_graph(pages))
+    graph_schema = pa.schema([
+        ("subj", pa.string()), ("subj_type", pa.string()),
+        ("pred", pa.string()), ("obj", pa.string()),
+        ("obj_type", pa.string()), ("url", pa.string()),
+        ("conf", pa.float64()), ("subj_id", pa.string()),
+        ("obj_id", pa.string()),
+    ])
+    cols = list(zip(*graph_rows)) if graph_rows else [[] for _ in graph_schema.names]
+    pq.write_table(
+        pa.Table.from_arrays(
+            [pa.array(c, type=f.type) for c, f in zip(cols, graph_schema)],
+            schema=graph_schema,
+        ),
+        os.path.join(OUT_DIR, "oracle_triples_sf0.01.parquet"),
+    )
+    print(f"graph triples: {len(graph_rows)} rows")
+
+    # KG quality row (q_pages_kg_quality's exact computation, from the
+    # oracle graph vs the generator's seeded gold relations)
+    import re as _re
+
+    from weak_supervision_for_ner_spark.functions.lexicons import LEGAL_SUFFIXES
+    from weak_supervision_for_ner_spark.sources.pages import make_page_full
+
+    suffix_re = r"(?i)\s+(" + "|".join(sorted(LEGAL_SUFFIXES)) + r")\.?$"
+
+    def _norm_triple(s: str) -> str:
+        return _re.sub(suffix_re, "", _re.sub(suffix_re, "", s.lower()))
+
+    got = {(r[5], _norm_triple(r[0]), r[2], _norm_triple(r[3])) for r in graph_rows}
+    gold_t = set()
+    for i in range(N_DOCS):
+        page, _g, triples = make_page_full(i, SEED)
+        if page["lang"] != "en":
+            continue
+        for subj, pred, obj in triples:
+            gold_t.add((page["url"], _norm_triple(subj), pred, _norm_triple(obj)))
+    tp = len(got & gold_t)
+    kq_schema = pa.schema([
+        ("n_predicted", pa.int64()), ("n_gold", pa.int64()), ("tp", pa.int64()),
+        ("precision", pa.float64()), ("recall", pa.float64()),
+    ])
+    kq_row = (len(got), len(gold_t), tp,
+              round(tp / max(len(got), 1), 4), round(tp / max(len(gold_t), 1), 4))
+    pq.write_table(
+        pa.Table.from_arrays(
+            [pa.array([v], type=f.type) for v, f in zip(kq_row, kq_schema)],
+            schema=kq_schema,
+        ),
+        os.path.join(OUT_DIR, "oracle_kg_quality_sf0.01.parquet"),
+    )
+    print(f"kg_quality: pred {kq_row[0]} gold {kq_row[1]} tp {tp} "
+          f"P {kq_row[3]} R {kq_row[4]}")
+
     for name, pred_rows in (("mv", mv_rows), ("corrected", corr_rows),
                             ("hmm", hmm_rows), ("snorkel", sn_rows)):
         ev = oracle_eval(gold_rows, pred_rows, CONLL_MAPPINGS, CONLL_TO_RETAIN)

@@ -32,3 +32,21 @@ def test_kg_triples_match_generator_gold(spark):
     recall = tp / max(n_gold, 1)
     assert precision >= 0.95, (precision, n_got, tp)
     assert recall >= 0.95, (recall, n_gold, tp)
+
+
+def test_graph_matches_single_node_oracle_exactly(spark):
+    """The distributed graph equals the full single-node oracle —
+    including the minhash-LSH canonicalization reproduced via the
+    bit-exact xxhash64 mirror. This is the parity the
+    oracle_triples_sf0.01 fixture gate certifies at the driver."""
+    from weak_supervision_for_ner_spark.plans.oracle import oracle_graph
+    from weak_supervision_for_ner_spark.sources.pages import make_page
+
+    n = 150
+    _, _, graph = run_kg_pipeline(spark, synth_pages(spark, n), aggregator="majority")
+    cols = ["subj", "subj_type", "pred", "obj", "obj_type", "url", "conf",
+            "subj_id", "obj_id"]
+    spark_rows = sorted(tuple(r[c] for c in cols) for r in graph.collect())
+    oracle_rows = sorted(oracle_graph([make_page(i, 42)[0] for i in range(n)]))
+    assert len(spark_rows) > 50
+    assert spark_rows == oracle_rows

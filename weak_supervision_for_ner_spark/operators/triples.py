@@ -734,8 +734,16 @@ def canonicalize_triples(
 
 def materialize_graph(canonical: DataFrame) -> DataFrame:
     """Final (subj, pred, obj) edge table: dedup per (ids, url) keeping
-    max confidence, canonical column order (TRIPLES_SCHEMA + ids)."""
-    w = Window.partitionBy("subj_id", "pred", "obj_id", "url").orderBy(F.desc("conf"))
+    max confidence, canonical column order (TRIPLES_SCHEMA + ids).
+
+    The surface-form tiebreak (two variants of one entity collapsing to
+    the same ids at equal conf) is deterministic — ordered by the
+    remaining columns — so the output is stable across partitionings,
+    retries and engines (the single-node oracle mirrors the same
+    ordering)."""
+    w = Window.partitionBy("subj_id", "pred", "obj_id", "url").orderBy(
+        F.desc("conf"), "subj", "subj_type", "obj", "obj_type"
+    )
     return (
         canonical
         .withColumn("rn", F.row_number().over(w))
