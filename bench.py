@@ -227,14 +227,20 @@ def main() -> None:
         "kg_docs_per_sec": docs_per_sec,
         "cores": cores,
         "protocol": f"best-of-{n_runs}, idle-wait<{load_threshold:g}",
-        # per-query 1-minute load right before its first run: any entry
-        # >= cores/4 means that timing was taken on a loaded box
-        "query_loads": loads,
-        "query_runs": all_runs,
         "load_1m_at_start": load_at_start,
     }
     if load_warning:
         out["load_warning"] = True
+
+    # Per-run / per-query-load detail goes to a SIDECAR file, not the
+    # stdout JSON: round 4's artifact exceeded what the driver harness
+    # parses ("parsed": null), losing the machine-readable evidence.
+    # The stdout line stays compact; the sidecar keeps the full
+    # self-certifying detail (every run, the 1-minute load right before
+    # each query — any entry >= cores/4 means a loaded-box timing).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
 
     # North-rule scaling evidence folded into the SAME self-certifying
     # artifact (round-3 verdict item #8): run the identical KG job at N
@@ -276,6 +282,10 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — bench must still emit
             print(f"# scaling block failed: {exc}", file=sys.stderr)
             out["scaling"] = {"error": str(exc)}
+
+    with open(detail_path, "w") as fd:
+        json.dump({**out, "query_loads": loads, "query_runs": all_runs}, fd, indent=1)
+    print(f"# full per-run detail: {detail_path}", file=sys.stderr)
     print(json.dumps(out))
 
 

@@ -16,6 +16,7 @@ resumes EM from the latest per-iteration checkpoint.
 from __future__ import annotations
 
 import argparse
+import os
 
 
 def main() -> None:
@@ -52,8 +53,9 @@ def main() -> None:
                     help="how to read --input (independent of the sink "
                          "--format): 'parquet' path, 'table' catalog name, or "
                          "'auto' (default — synth:N generates, a value "
-                         "containing '/' reads as a parquet path, anything "
-                         "else as a catalog table)")
+                         "containing '/', ending in .parquet, or existing "
+                         "on the filesystem reads as a parquet path, "
+                         "anything else as a catalog table)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -69,6 +71,11 @@ def main() -> None:
         pages = synth_pages(spark, int(args.input.split(":", 1)[1]))
     elif args.input_format == "table" or (
         args.input_format == "auto" and "/" not in args.input
+        # a relative path in the cwd ('data.parquet') is a parquet
+        # input, not a catalog table — auto must not misroute it into
+        # spark.table()'s confusing table-not-found error (r4 advice)
+        and not args.input.endswith(".parquet")
+        and not os.path.exists(args.input)
     ):
         pages = spark.table(args.input)   # catalog table name
     else:

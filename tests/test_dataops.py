@@ -588,6 +588,41 @@ def test_lsh_and_ivf_numpy_rerank_parity(spark):
     emb.unpersist()
 
 
+def test_embedding_dedup_cap_requires_lsh_blocker(spark):
+    """max_bucket/stats with blocker='none' must raise, not silently
+    run uncapped with an empty stats dict (r4 advice: truncation is
+    observable, never silent)."""
+    import pytest
+
+    from weak_supervision_for_ner_spark.operators.dedup import (
+        embedding_near_duplicates,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="only supported with blocker='lsh'"):
+        embedding_near_duplicates(emb, blocker="none", max_bucket=8)
+    with pytest.raises(ValueError, match="only supported with blocker='lsh'"):
+        embedding_near_duplicates(emb, blocker="none", stats={})
+
+
+def test_numpy_rerank_enforces_max_queries(spark):
+    """The numpy re-rank collects+broadcasts the query matrix exactly
+    like the brute kernel, so it must enforce the same conscious-choice
+    cap — an uncapped collect is a driver OOM at scale (r4 verdict)."""
+    import pytest
+
+    from weak_supervision_for_ner_spark.operators.similarity import ivf_topk, lsh_topk
+
+    emb = _clustered_embeddings(spark, n_clusters=4, per_cluster=4)
+    q = emb.selectExpr("vec_id AS query_id", "embedding")
+    for fn, kw in ((lsh_topk, dict(n_planes=2, dim=16)),
+                   (ivf_topk, dict(n_cells=2, nprobe=1, sample_limit=16))):
+        with pytest.raises(ValueError, match="raise max_queries"):
+            fn(emb, q, k=3, kernel="numpy", max_queries=5, **kw).collect()
+
+
 def test_zero_vector_never_ranks_first_in_either_kernel(spark):
     """A zero-norm embedding (failed encoder / padding row) must not
     outrank real neighbors: unguarded cosine yields NaN, which Spark's

@@ -181,7 +181,11 @@ def test_round_half_up6_matches_decimal(xs):
 
     from weak_supervision_for_ner_spark.operators.similarity import _round_half_up6
 
-    xs = xs + [0.0000005, -0.0000015, 0.1234565]   # exact boundaries
+    xs = xs + [0.0000005, -0.0000015, 0.1234565,
+               # boundary-ulp cases: repr(x) rounds differently from
+               # the binary fast path; the Decimal repair must catch
+               # them (r5 — no carve-out anymore: exactness everywhere)
+               0.49999949999999994, 0.1999995, -0.2999985]
     got = _round_half_up6(np.array(xs, dtype=np.float64))
     for x, g in zip(xs, got):
         want = float(
@@ -189,12 +193,7 @@ def test_round_half_up6_matches_decimal(xs):
                 decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
             )
         )
-        # repr(x) vs binary float can differ at the boundary ulp; allow
-        # one 1e-6 step of disagreement only when x sits within an ulp
-        # of a .5 boundary, else require exactness
-        if abs(g - want) > 1e-12:
-            frac = abs(x) * 1e6 % 1
-            assert abs(frac - 0.5) < 1e-9 and abs(g - want) <= 1e-6 + 1e-12
+        assert g == want, (x, g, want)
     assert np.all(got == -_round_half_up6(-np.array(xs)))   # odd symmetry
 
 

@@ -362,6 +362,16 @@ def embedding_near_duplicates(
     trap at any real corpus size, which is why approximate-with-known-
     recall is the default an operator at 100 TB actually wants.
     """
+    if blocker != "lsh" and (max_bucket is not None or stats is not None):
+        # "truncation is observable, never silent": the cap/stats
+        # contract only exists on the lsh blocker — accepting and
+        # ignoring it would hand the caller uncapped quadratic buckets
+        # with an empty stats dict and no indication (r4 advice)
+        raise ValueError(
+            f"max_bucket/stats are only supported with blocker='lsh' "
+            f"(got blocker={blocker!r}); the {blocker!r} blocker has no "
+            "bucket cap — drop the arguments or switch blockers"
+        )
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
     base = embeddings.select(F.col(id_col), F.col(vec_col), norm.alias("nrm"))
     dot = F.aggregate(

@@ -583,6 +583,11 @@ def standardise(doc: Doc) -> None:
         if not any(
             any(label in rewritable for label, _ in vals)
             or (len(vals) > 1 and sum(c for _, c in vals) > 1.0)
+            # the >1.0-total guard assumes non-negative confs: with a
+            # negative conf a PREFIX of vals can exceed 1.0 while the
+            # total does not, and doc.add would renormalise mid-rebuild
+            # — such layers must take the rebuild (r4 advice)
+            or any(c < 0 for _, c in vals)
             for vals in doc.layers[source].values()
         ):
             continue

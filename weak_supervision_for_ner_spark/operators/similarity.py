@@ -148,14 +148,33 @@ def brute_force_topk(
 
 
 def _round_half_up6(x: "np.ndarray") -> "np.ndarray":
-    """HALF_UP at 6 decimals — matches Spark's F.round (np.round is
-    half-to-even; see the brute-force kernel note)."""
-    return np.floor(np.abs(x) * 1e6 + 0.5) / 1e6 * np.sign(x)
+    """HALF_UP at 6 decimals — matches Spark's F.round EXACTLY.
+
+    F.round on a double goes through BigDecimal.valueOf(d) (shortest
+    decimal repr) then setScale(6, HALF_UP); the vectorized binary-float
+    fast path (|x|*1e6+0.5) can disagree with that by one 1e-6 step
+    when x sits within an ulp of a .5 boundary. Those rare elements are
+    detected and re-rounded through Decimal(repr(x)) — the exact
+    BigDecimal.valueOf mirror — so kernel outputs really are
+    row-identical, not just row-identical-away-from-boundaries
+    (r4 advice). The Decimal loop touches only elements within 1e-9 of
+    a boundary: vanishingly few, so the BLAS-speed path is unaffected."""
+    y = np.floor(np.abs(x) * 1e6 + 0.5) / 1e6 * np.sign(x)
+    frac = np.abs(x) * 1e6
+    near = np.abs(frac - np.floor(frac) - 0.5) < 1e-9
+    if near.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.000001")
+        yf, xf = y.reshape(-1), np.asarray(x, dtype=np.float64).reshape(-1)
+        for i in np.nonzero(near.reshape(-1))[0]:
+            yf[i] = float(Decimal(repr(float(xf[i]))).quantize(q, ROUND_HALF_UP))
+    return y
 
 
 def _numpy_pair_rerank(
     cand: DataFrame, queries: DataFrame, k: int,
-    id_col: str, vec_col: str,
+    id_col: str, vec_col: str, max_queries: int = 100_000,
 ) -> DataFrame:
     """Arrow-batched exact re-rank of (query_id, candidate) pairs: the
     query matrix is collected/normalized ONCE and broadcast; each
@@ -172,7 +191,15 @@ def _numpy_pair_rerank(
     import pandas as pd
     from pyspark.sql import types as T
 
-    q_rows = queries.select("query_id", F.col(vec_col).alias("qvec")).collect()
+    # same driver-OOM guard as the brute kernel: the query matrix is
+    # collected and broadcast, so its size must be a conscious choice
+    q_rows = queries.select("query_id", F.col(vec_col).alias("qvec")) \
+                    .limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"more than {max_queries} query vectors; the query matrix is "
+            "broadcast — raise max_queries explicitly if that is intended"
+        )
     qmap = {}
     for r in q_rows:
         v = np.asarray(list(r["qvec"]), dtype=np.float64)
@@ -234,7 +261,7 @@ def lsh_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = 5,
     n_planes: int = 8, dim: int = 64,
     id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
-    kernel: str = "jvm",
+    kernel: str = "jvm", max_queries: int = 100_000,
 ) -> DataFrame:
     """ANN: bucket corpus + queries by hyperplane signs, exact re-rank
     within the bucket join. Trades recall for a candidate set that
@@ -256,7 +283,8 @@ def lsh_topk(
         .filter(F.col("query_id") != F.col(id_col))
     )
     if kernel == "numpy":
-        return _numpy_pair_rerank(cand, queries, k, id_col, vec_col)
+        return _numpy_pair_rerank(cand, queries, k, id_col, vec_col,
+                                  max_queries=max_queries)
     if kernel != "jvm":
         raise ValueError(f"kernel must be 'jvm' or 'numpy', got {kernel!r}")
     scored = cand.withColumn("cosine", F.round(_cosine(vec_col, "qvec"), 6))
@@ -362,7 +390,7 @@ def ivf_topk(
     n_cells: int = 8, nprobe: int = 2, sample_limit: int = 256,
     id_col: str = "vec_id", vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
-    kernel: str = "jvm",
+    kernel: str = "jvm", max_queries: int = 100_000,
 ) -> DataFrame:
     """IVF ANN: assign every corpus vector to its nearest centroid cell
     (one narrow codegen pass), probe each query's ``nprobe`` best cells,
@@ -396,7 +424,8 @@ def ivf_topk(
         .filter(F.col("query_id") != F.col(id_col))
     )
     if kernel == "numpy":
-        return _numpy_pair_rerank(cand, queries, k, id_col, vec_col)
+        return _numpy_pair_rerank(cand, queries, k, id_col, vec_col,
+                                  max_queries=max_queries)
     if kernel != "jvm":
         raise ValueError(f"kernel must be 'jvm' or 'numpy', got {kernel!r}")
     scored = (

@@ -73,19 +73,33 @@ def stage_metrics(annotated: DataFrame) -> DataFrame:
 
 def _input_identity(pages: DataFrame) -> str:
     """Cheap corpus identity for the stage_dir fingerprint. File/table
-    inputs: an md5 over the sorted source-file list (driver-side
-    metadata only — no job, so it is free at 100 TB, and any
-    add/remove/rewrite of a split changes it; by design the identity is
-    the FILES, not the plan on top of them — two runs reading the same
-    snapshot through different filters share stages). In-memory inputs
-    (tests, synth corpora) have no files; fall back to one cheap
-    content-hash job (count + order-independent xxhash64 over
-    url/text) — a bare row count would collide for any two same-size
-    corpora, which is exactly the stale-reuse case the fingerprint
-    exists to catch."""
+    inputs: an md5 over the sorted source-file list PLUS each file's
+    (size, mtime) where the filesystem exposes them (driver-side
+    metadata only — no job, so it is free at 100 TB). Any add/remove of
+    a split changes the path list; an in-place same-name rewrite (a
+    non-Spark regeneration emitting identical part names) changes
+    size/mtime, so stale stages are not silently reused (r4 advice).
+    For remote URIs whose metadata isn't reachable from the driver's
+    local FS the entry degrades to the bare path — note that object
+    stores' immutable-part naming makes same-path rewrites a non-issue
+    there. By design the identity is the FILES, not the plan on top of
+    them — two runs reading the same snapshot through different
+    filters share stages. In-memory inputs (tests, synth corpora) have
+    no files; fall back to one cheap content-hash job (count +
+    order-independent xxhash64 over url/text) — a bare row count would
+    collide for any two same-size corpora, which is exactly the
+    stale-reuse case the fingerprint exists to catch."""
     files = sorted(pages.inputFiles())
     if files:
-        h = hashlib.md5("\n".join(files).encode()).hexdigest()
+        entries = []
+        for f in files:
+            local = f[7:] if f.startswith("file://") else f
+            try:
+                st = os.stat(local)
+                entries.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+            except OSError:
+                entries.append(f)
+        h = hashlib.md5("\n".join(entries).encode()).hexdigest()
         return f"files:{len(files)}:{h}"
     agg = pages.agg(
         F.count(F.lit(1)).alias("n"),
