@@ -536,6 +536,152 @@ def test_builtin_ppm_decoder_roundtrip():
     assert np.allclose(out, img.astype(np.float32).mean(axis=2) / 255.0, atol=1e-6)
 
 
+def _png_bytes(arr, ctype, depth=8, filters=None, plte=None, interlace=0):
+    """Minimal PNG writer (tests only): arr holds SAMPLES per pixel —
+    (h,w) gray/palette-index or (h,w,ch). ``filters`` picks the filter
+    type per scanline (cycling), so decode exercises Sub/Up/Avg/Paeth
+    against an independently-computed filtered stream."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    ch = 1 if arr.ndim == 2 else arr.shape[2]
+    flat = arr.reshape(h, w * ch)
+    if depth == 16:
+        rows = flat.astype(">u2").view(np.uint8).reshape(h, -1)
+    elif depth == 8:
+        rows = flat.astype(np.uint8)
+    else:  # pack depth-bit samples MSB-first
+        bits = ((flat[:, :, None].astype(np.uint8) >>
+                 np.arange(depth - 1, -1, -1)) & 1).reshape(h, -1)
+        pad = (-bits.shape[1]) % 8
+        bits = np.pad(bits, ((0, 0), (0, pad)))
+        rows = np.packbits(bits, axis=1)
+    fbpp = max(1, (depth // 8) * ch)
+    filters = filters or [0]
+    out = []
+    prev = np.zeros(rows.shape[1], dtype=np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = rows[y].astype(np.int32)
+        filt = np.empty_like(cur)
+        for i in range(len(cur)):
+            a = cur[i - fbpp] if i >= fbpp else 0
+            b = prev[i]
+            c = prev[i - fbpp] if i >= fbpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[i] = (cur[i] - pred) & 0xFF
+        out.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ, body):
+        return (struct.pack(">I", len(body)) + typ + body +
+                struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        png += chunk(b"PLTE", np.asarray(plte, np.uint8).tobytes())
+    png += chunk(b"IDAT", zlib.compress(b"".join(out)))
+    return png + chunk(b"IEND", b"")
+
+
+def test_png_decoder_all_filters_and_color_types():
+    """decode_png vs ground truth across every scanline filter and the
+    five color types — the encoder computes the filtered stream
+    independently, so agreement proves the unfilter logic."""
+    import numpy as np
+
+    from weak_supervision_for_ner_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(3)
+    filters = [0, 1, 2, 3, 4]
+    # gray 8-bit
+    g = rng.integers(0, 256, (7, 5), dtype=np.uint16)
+    assert np.allclose(decode_png(_png_bytes(g, 0, 8, filters)),
+                       g / 255.0, atol=1e-6)
+    # RGB 8-bit: luma = channel mean
+    c = rng.integers(0, 256, (6, 4, 3), dtype=np.uint16)
+    assert np.allclose(decode_png(_png_bytes(c, 2, 8, filters)),
+                       c.astype(np.float32).mean(axis=2) / 255.0, atol=1e-6)
+    # RGBA 8-bit: alpha ignored
+    a4 = rng.integers(0, 256, (5, 3, 4), dtype=np.uint16)
+    assert np.allclose(decode_png(_png_bytes(a4, 6, 8, filters)),
+                       a4[:, :, :3].astype(np.float32).mean(axis=2) / 255.0, atol=1e-6)
+    # gray+alpha: gray channel only
+    ga = rng.integers(0, 256, (4, 6, 2), dtype=np.uint16)
+    assert np.allclose(decode_png(_png_bytes(ga, 4, 8, filters)),
+                       ga[:, :, 0] / 255.0, atol=1e-6)
+    # gray 16-bit
+    g16 = rng.integers(0, 65536, (5, 5), dtype=np.uint32)
+    assert np.allclose(decode_png(_png_bytes(g16, 0, 16, filters)),
+                       g16 / 65535.0, atol=1e-7)
+    # palette 4-bit
+    plte = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (6, 7), dtype=np.uint8)
+    assert np.allclose(decode_png(_png_bytes(idx, 3, 4, filters, plte=plte)),
+                       plte[idx].astype(np.float32).mean(axis=2) / 255.0, atol=1e-6)
+    # gray 1-bit
+    g1 = rng.integers(0, 2, (4, 11), dtype=np.uint8)
+    assert np.allclose(decode_png(_png_bytes(g1, 0, 1, filters)),
+                       g1.astype(np.float32), atol=1e-6)
+
+
+def test_png_decoder_rejects_corruption_and_interlace():
+    import numpy as np
+    import pytest
+
+    from weak_supervision_for_ner_spark.operators.multimodal import decode_png
+
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    good = _png_bytes(img, 0, 8)
+    bad = bytearray(good)
+    bad[40] ^= 0xFF                       # flip an IDAT byte -> CRC fails
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        decode_png(_png_bytes(img, 0, 8, interlace=1))
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+
+def test_real_png_through_spark_stages(spark):
+    """REAL zlib-compressed PNG bytes through extract_features and
+    resize_images with NO registered decoder — the builtin magic-byte
+    decoder closes the compressed-image modality end-to-end."""
+    import numpy as np
+
+    from weak_supervision_for_ner_spark.operators import multimodal as mm
+
+    mm._DECODER = None
+    img = np.zeros((8, 6, 3), dtype=np.uint8)
+    img[:4] = 255                      # top half white
+    payload = _png_bytes(img, 2, 8, filters=[0, 1, 2, 3, 4])
+    media = spark.createDataFrame(
+        [("png1", "image", "image/png", bytearray(payload), 6, 8, None)],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    feats = {r["media_id"]: r for r in mm.extract_features(media, dim=8).collect()}
+    assert feats["png1"]["n_bytes"] == len(payload)
+    resized = {r["media_id"]: r for r in mm.resize_images(media, 2, 2).collect()}
+    px = np.array(resized["png1"]["pixels"]).reshape(2, 2)
+    assert np.allclose(px[0], 1.0, atol=1e-6)   # white top
+    assert np.allclose(px[1], 0.0, atol=1e-6)   # black bottom
+
+
 def test_real_wav_and_ppm_through_spark_stages(spark):
     """REAL bytes through the distributed stages with NO registered
     decoder: the builtin magic-byte decoder makes WAV audio and PPM
