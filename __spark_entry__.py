@@ -478,6 +478,62 @@ def q_drop_boilerplate(spark, sf_dir):
     return drop_boilerplate_lines(docs, min_docs=2)
 
 
+def _chunk_lined_docs(spark, sf_dir):
+    """documents with derived multi-line text for the within-doc line
+    ops: 60-char chunks as lines, plus deterministic WITHIN-doc
+    repeats (every 3rd doc repeats chunk 1; every 7th repeats it
+    again) so the repetition signals certify real detections, not an
+    all-zeros pass."""
+    c1 = F.substring("text", 1, 60)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            c1, F.substring("text", 61, 60), F.substring("text", 121, 60),
+            F.when(F.col("doc_id") % 3 == 0, c1).otherwise(F.substring("text", 181, 60)),
+            F.when(F.col("doc_id") % 7 == 0, c1)
+            .otherwise(F.concat(F.lit("unique tail "), F.col("doc_id"))),
+        ).alias("text"),
+    )
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher/RefinedWeb within-doc repetition filters: duplicate-line
+    fraction, duplicate-line char fraction, top-2-gram fraction and
+    the rejection decision — one narrow codegen'd projection (plan
+    audited: no UDF, no shuffle, no explode)."""
+    from weak_supervision_for_ner_spark.operators.textstats import repetition_signals
+
+    return repetition_signals(_chunk_lined_docs(spark, sf_dir))
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (n-gram-overlap rule): probes are the
+    first-12-token windows of every 40th doc, so the flagged set
+    certifies real containment hits (the probed docs themselves plus
+    any doc sharing their 8-gram prefixes)."""
+    from weak_supervision_for_ner_spark.operators.textstats import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 40 == 0).select(
+        F.concat_ws(
+            " ", F.slice(F.split(F.lower(F.trim("text")), r"\s+"), 1, 12)
+        ).alias("text")
+    )
+    return decontaminate(docs, probes, n=8)
+
+
+def q_cap_per_domain(spark, sf_dir):
+    """Per-domain document cap (FineWeb/CCNet domain-domination
+    guard): keep the top-20 docs per source by length, deterministic
+    tiebreak, rank column kept observable."""
+    from weak_supervision_for_ner_spark.operators.textstats import cap_per_domain
+
+    return cap_per_domain(_t(spark, sf_dir, "documents"), k=20).select(
+        "doc_id", "source", "n_chars", "domain_rank"
+    )
+
+
 def q_token_counts(spark, sf_dir):
     from weak_supervision_for_ner_spark.operators.textstats import token_counts
 
@@ -923,6 +979,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "redact_pii": q_redact_pii,
         "drop_boilerplate": q_drop_boilerplate,
+        "repetition_signals": q_repetition_signals,
+        "decontaminate": q_decontaminate,
+        "cap_per_domain": q_cap_per_domain,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
         "form_frequencies": q_form_frequencies,
@@ -1401,6 +1460,103 @@ def oracle_sql() -> dict[str, str]:
             (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0 END) +
             (CASE WHEN stopword_ratio >= 0.05 THEN 0.25 ELSE 0 END), 2) AS quality
         FROM feat
+    """
+
+    # within-doc repetition signals over the chunk-derived multi-line
+    # text (same derivation as the Spark side: 60-char chunks, every
+    # 3rd/7th doc repeats chunk 1)
+    sql["repetition_signals"] = """
+        WITH chunked AS (
+            SELECT doc_id, concat_ws(chr(10),
+                substring(text, 1, 60), substring(text, 61, 60),
+                substring(text, 121, 60),
+                CASE WHEN doc_id % 3 = 0 THEN substring(text, 1, 60)
+                     ELSE substring(text, 181, 60) END,
+                CASE WHEN doc_id % 7 = 0 THEN substring(text, 1, 60)
+                     ELSE 'unique tail ' || doc_id END) AS text
+            FROM documents),
+        lines AS (
+            SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM chunked),
+        kept AS (SELECT doc_id, l FROM lines WHERE length(trim(l)) > 0),
+        ls AS (SELECT doc_id, count(*) AS nl, sum(length(l)) AS chars
+               FROM kept GROUP BY 1),
+        ds AS (SELECT doc_id, count(*) AS ndl, sum(length(l)) AS dchars
+               FROM (SELECT DISTINCT doc_id, l FROM kept) GROUP BY 1),
+        tok AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok,
+                   generate_subscripts(string_split_regex(lower(trim(text)), '\\s+'), 1) AS pos
+            FROM chunked),
+        grams AS (
+            SELECT doc_id, tok || ' ' || lead(tok) OVER
+                   (PARTITION BY doc_id ORDER BY pos) AS g
+            FROM tok QUALIFY g IS NOT NULL),
+        gs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS ng, max(c) AS topc
+               FROM (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+               GROUP BY 1),
+        feat AS (
+            SELECT c.doc_id,
+                   COALESCE(ls.nl, 0) AS n_lines,
+                   ROUND((COALESCE(ls.nl, 0) - COALESCE(ds.ndl, 0))
+                         / greatest(COALESCE(ls.nl, 0), 1), 4) AS dup_line_frac,
+                   ROUND((COALESCE(ls.chars, 0) - COALESCE(ds.dchars, 0))
+                         / greatest(COALESCE(ls.chars, 0), 1), 4) AS dup_line_char_frac,
+                   CASE WHEN COALESCE(gs.ng, 0) = 0 THEN 0.0
+                        ELSE ROUND(gs.topc / gs.ng, 4) END AS top_2gram_frac
+            FROM chunked c
+            LEFT JOIN ls ON c.doc_id = ls.doc_id
+            LEFT JOIN ds ON c.doc_id = ds.doc_id
+            LEFT JOIN gs ON c.doc_id = gs.doc_id)
+        SELECT *, (dup_line_frac > 0.30 OR dup_line_char_frac > 0.20
+                   OR top_2gram_frac > 0.20) AS flagged
+        FROM feat
+    """
+
+    # n-gram-overlap decontamination: string windows in the oracle vs
+    # xxhash64 windows in Spark — identical results absent a 64-bit
+    # collision (none at this scale; over-flagging is the conservative
+    # direction at 100 TB, documented in the operator)
+    sql["decontaminate"] = """
+        WITH dt AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS toks
+            FROM documents),
+        dwin AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 8
+                        THEN array_to_string(list_slice(toks, i, i + 7), ' ')
+                        ELSE array_to_string(toks, ' ') END AS w
+            FROM dt, unnest(CASE WHEN len(toks) >= 8
+                                 THEN range(1, len(toks) - 6)
+                                 ELSE [1] END) AS t(i)),
+        pt AS (
+            SELECT string_split_regex(
+                       array_to_string(list_slice(toks, 1, 12), ' '), ' ') AS toks
+            FROM dt WHERE doc_id % 40 = 0),
+        pw AS (
+            SELECT DISTINCT
+                   CASE WHEN len(toks) >= 8
+                        THEN array_to_string(list_slice(toks, i, i + 7), ' ')
+                        ELSE array_to_string(toks, ' ') END AS w
+            FROM pt, unnest(CASE WHEN len(toks) >= 8
+                                 THEN range(1, len(toks) - 6)
+                                 ELSE [1] END) AS t(i)),
+        hits AS (
+            SELECT d.doc_id, count(*) AS n_hits
+            FROM dwin d JOIN pw ON d.w = pw.w GROUP BY 1)
+        SELECT doc_id, COALESCE(n_hits, 0) AS n_hits,
+               COALESCE(n_hits, 0) > 0 AS contaminated
+        FROM documents LEFT JOIN hits USING (doc_id)
+    """
+
+    sql["cap_per_domain"] = """
+        SELECT doc_id, source, n_chars, domain_rank FROM (
+            SELECT doc_id, source, n_chars,
+                   CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY n_chars DESC, doc_id ASC) AS INTEGER)
+                       AS domain_rank
+            FROM documents)
+        WHERE domain_rank <= 20
     """
 
     sql["token_counts"] = """

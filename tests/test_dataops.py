@@ -825,6 +825,105 @@ def test_redact_pii_plan_is_codegen_projection(spark):
     plan = redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
+    # Catalyst must collapse the chained withColumns into ONE Project
+    # over the scan (single corpus read; r5 verdict item)
+    assert plan.count("Project") == 1, plan
+
+
+def test_repetition_signals(spark):
+    from weak_supervision_for_ner_spark.operators.textstats import repetition_signals
+
+    rows = [
+        (1, "alpha beta\ngamma delta\nalpha beta\nepsilon zeta"),  # 1 dup line of 4
+        (2, "a b a b a b"),                    # top 2-gram 'a b' x3 of 5
+        (3, "all unique lines\nno repeats here"),
+        (4, ""),                               # empty doc: all zeros
+        (5, "x\n  \nx\nx"),                    # blank line ignored; 2 dups of 3
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert got[1]["n_lines"] == 4 and got[1]["dup_line_frac"] == 0.25
+    # 10 chars of the repeated 'alpha beta' over 43 total line chars
+    assert got[1]["dup_line_char_frac"] == round(10 / 43, 4)
+    assert got[2]["top_2gram_frac"] == 0.6 and got[2]["flagged"]
+    assert got[3]["dup_line_frac"] == 0.0 and not got[3]["flagged"]
+    assert got[4]["n_lines"] == 0 and got[4]["dup_line_frac"] == 0.0
+    assert got[5]["n_lines"] == 3 and got[5]["dup_line_frac"] == round(2 / 3, 4)
+    assert got[5]["flagged"]
+
+
+def test_repetition_signals_plan_is_narrow(spark):
+    """One codegen'd projection: no UDF, no shuffle, no explode — at
+    100 TB this runs at scan speed."""
+    from weak_supervision_for_ner_spark.operators.textstats import repetition_signals
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    plan = repetition_signals(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
+    assert "Generate" not in plan              # no explode
+
+
+def test_decontaminate(spark):
+    from weak_supervision_for_ner_spark.operators.textstats import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight again"),
+            (2, "completely unrelated content with no overlap whatsoever in it"),
+            (3, "prefix words then the quick brown fox jumps over the lazy dog"),
+            (4, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",),   # 9 tokens -> 2 windows
+         ("short doc",)],                                    # sub-n probe
+        "text string",
+    )
+    got = {r["doc_id"]: r for r in decontaminate(docs, probes, n=8).collect()}
+    assert got[1]["contaminated"] and got[1]["n_hits"] == 2   # both probe windows
+    assert not got[2]["contaminated"] and got[2]["n_hits"] == 0
+    assert got[3]["contaminated"] and got[3]["n_hits"] == 2
+    assert got[4]["contaminated"]          # exact short-probe match
+    # case-insensitive
+    up = spark.createDataFrame(
+        [(9, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG")], "doc_id long, text string"
+    )
+    assert decontaminate(up, probes, n=8).collect()[0]["contaminated"]
+
+
+def test_decontaminate_plan_broadcasts_probes(spark):
+    """The probe side must broadcast into the scan stage — a
+    sort-merge join here would shuffle every document window at
+    100 TB."""
+    from weak_supervision_for_ner_spark.operators.textstats import decontaminate
+
+    docs = spark.createDataFrame([(1, "a b c d e f g h i")], "doc_id long, text string")
+    probes = spark.createDataFrame([("a b c d e f g h",)], "text string")
+    plan = decontaminate(docs, probes, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_cap_per_domain(spark):
+    from weak_supervision_for_ner_spark.operators.textstats import cap_per_domain
+
+    rows = [(i, f"d{i % 3}", 100 - i) for i in range(12)]  # 4 docs per domain
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars int")
+    got = cap_per_domain(docs, k=2).collect()
+    assert len(got) == 6                       # 2 per domain
+    by_dom = {}
+    for r in got:
+        by_dom.setdefault(r["source"], []).append((r["doc_id"], r["domain_rank"]))
+    # highest n_chars (lowest doc_id here) wins, rank is 1-based
+    assert sorted(by_dom["d0"]) == [(0, 1), (3, 2)]
+    assert sorted(by_dom["d1"]) == [(1, 1), (4, 2)]
+    # deterministic tiebreak: equal n_chars -> ascending doc_id
+    tie = spark.createDataFrame(
+        [(1, "x", 5), (2, "x", 5), (3, "x", 5)], "doc_id long, source string, n_chars int"
+    )
+    kept = sorted(r["doc_id"] for r in cap_per_domain(tie, k=2).collect())
+    assert kept == [1, 2]
 
 
 def test_drop_boilerplate_lines(spark):

@@ -489,6 +489,13 @@ def minhash_lsh_star_edges(
     banded = sigs.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # Hub per bucket via ONE window shuffle. The alternative (groupBy
+    # min + equi-join back, which AQE could skew-split) was measured
+    # and REJECTED: the second shuffle of the banded table costs ~2x
+    # on unskewed corpora and still loses under a 100k-member
+    # mega-bucket (20.6s vs 14.3s) — the window's single sorted pass
+    # wins even when one bucket holds half the corpus (scripts/
+    # skew_bench.py records the skew evidence per round).
     w = Window.partitionBy("band", "key")
     return (
         banded

@@ -7,7 +7,7 @@ DuckDB oracle can reproduce results exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # Tiny deterministic stopword profiles for n-gram-free language ID.
 _LANG_PROFILES = {
@@ -82,6 +82,157 @@ def token_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         ws.cast("long").alias("ws_tokens"),
         F.ceil(F.length(text_col) / F.lit(4.0)).cast("long").alias("bpe_estimate"),
+    )
+
+
+def repetition_signals(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/RefinedWeb-style within-document repetition signals —
+    the filters a training-data pipeline runs before anything
+    model-based: (doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+    top_2gram_frac, flagged).
+
+    - ``dup_line_frac``: fraction of non-empty lines that are repeats
+      of an earlier line (1 - distinct/total).
+    - ``dup_line_char_frac``: fraction of line characters inside those
+      repeated occurrences (total line chars - distinct lines' chars).
+    - ``top_2gram_frac``: occurrences of the most frequent word 2-gram
+      over total 2-grams — computed narrowly as the longest equal-run
+      in the SORTED 2-gram array (no per-doc map building).
+    - ``flagged``: the Gopher-style rejection decision
+      (dup_line_frac > 0.30 or dup_line_char_frac > 0.20 or
+      top_2gram_frac > 0.20).
+
+    All pure built-ins/HOFs in ONE narrow projection — no UDF, no
+    shuffle, no explode: at 100 TB this runs at scan speed. Cost is
+    O(lines + ngrams log ngrams) per doc (array_sort dominates)."""
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+    dlines = F.array_distinct(lines)
+    chars = F.aggregate(lines, F.lit(0), lambda acc, x: acc + F.length(x))
+    dchars = F.aggregate(dlines, F.lit(0), lambda acc, x: acc + F.length(x))
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # guard: sequence(1, 0) is DESCENDING in Spark, so short docs need
+    # an explicit empty-array branch
+    grams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.array_sort(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+            )
+        )
+    )
+    # longest equal-adjacent run in the sorted array = top 2-gram count
+    runs = F.zip_with(grams, F.slice(grams, 2, F.greatest(F.size(grams) - 1, F.lit(0))),
+                      lambda a, b: (a == b).cast("int"))
+    top_run = F.aggregate(
+        runs,
+        F.struct(F.lit(0).alias("cur"), F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            (F.when(x == 1, acc["cur"] + 1).otherwise(0)).alias("cur"),
+            F.greatest(acc["best"], F.when(x == 1, acc["cur"] + 1).otherwise(0)).alias("best"),
+        ),
+        lambda acc: acc["best"] + 1,
+    )
+    out = documents.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.round(
+            (F.size(lines) - F.size(dlines)) / F.greatest(F.size(lines), F.lit(1)), 4
+        ).alias("dup_line_frac"),
+        F.round((chars - dchars) / F.greatest(chars, F.lit(1)), 4)
+        .alias("dup_line_char_frac"),
+        F.round(
+            F.when(F.size(grams) == 0, 0.0).otherwise(top_run / F.size(grams)), 4
+        ).alias("top_2gram_frac"),
+    )
+    return out.withColumn(
+        "flagged",
+        (F.col("dup_line_frac") > 0.30)
+        | (F.col("dup_line_char_frac") > 0.20)
+        | (F.col("top_2gram_frac") > 0.20),
+    )
+
+
+def decontaminate(
+    documents: DataFrame, probes: DataFrame, n: int = 8,
+    text_col: str = "text", probe_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM n-gram-overlap rule):
+    flag every document sharing an ``n``-token window with any probe
+    (benchmark/eval) text. Returns (doc_id, n_hits, contaminated) —
+    n_hits counts the doc's matching windows, so contamination volume
+    is observable, never a silent drop.
+
+    Shape at 100 TB: probe n-grams are DISTINCT-ed and hashed to
+    xxhash64 (benchmark suites are tiny — thousands of docs), then
+    broadcast; document windows explode as 8-byte hashes only (never
+    the n-token strings), meet the probes in a broadcast semi-join
+    inside the scan stage, and only the tiny per-doc hit counts
+    aggregate. A 64-bit hash collision over-flags one clean doc per
+    ~2^64 window-probe pairs — the conservative direction for
+    decontamination (documented, same bound family as the hashed
+    boilerplate key). Texts shorter than ``n`` tokens (probe or doc)
+    contribute their full token sequence as one window, so a sub-n
+    probe only flags docs whose full windows equal it exactly —
+    standard suites use probes >= n, where containment is complete."""
+
+    def windows(col):
+        toks = F.split(F.lower(F.trim(col)), r"\s+")
+        nwin = F.size(toks) - (n - 1)
+        # sequence(1, 0) is DESCENDING in Spark: docs shorter than n
+        # take the explicit full-sequence branch instead
+        return F.when(
+            nwin >= 1,
+            F.transform(
+                F.sequence(F.lit(1), nwin),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
+            ),
+        ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
+
+    probe_grams = (
+        probes.select(F.explode(windows(F.col(probe_text_col))).alias("gh"))
+        .distinct()
+    )
+    doc_grams = documents.select(
+        "doc_id", F.explode(windows(F.col(text_col))).alias("gh")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(probe_grams), "gh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        documents.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def cap_per_domain(
+    documents: DataFrame, k: int, key_col: str = "source",
+    order_col: str = "n_chars", id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document cap (the FineWeb/CCNet guard against one
+    crawl domain dominating the corpus): keep at most ``k`` docs per
+    ``key_col``, preferring higher ``order_col`` (quality proxy), ties
+    broken by ascending id so the survivor set is deterministic.
+    Output adds ``domain_rank`` (1-based) so the cap is observable.
+
+    One window shuffle on the domain key. Hot domains concentrate into
+    single partitions by construction; at 100 TB pre-aggregate per
+    (domain, salt) with a two-level top-k if a single domain's rows
+    exceed one executor — for web corpora the per-domain row count is
+    bounded by crawl policy long before that."""
+    w = Window.partitionBy(key_col).orderBy(F.desc(order_col), F.asc(id_col))
+    return (
+        documents
+        .withColumn("domain_rank", F.row_number().over(w))
+        .filter(F.col("domain_rank") <= k)
     )
 
 
@@ -197,17 +348,23 @@ def redact_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
     redaction volume is observable in lineage, never silent.
 
     One codegen'd projection — no UDF, no shuffle; at 100 TB this is a
-    pure map over the corpus scan. The conservative phone pattern
-    (+-prefixed, >= 9 digits/separators) trades recall for a near-zero
-    false-positive rate on numerics-heavy web text; swap patterns per
-    policy, keeping to the Java∩RE2 regex subset if the DuckDB oracle
-    must keep certifying the scrub."""
+    pure map over the corpus scan. Catalyst collapses the chained
+    withColumns below into a SINGLE Project (asserted by the plan-audit
+    test), so the corpus is read once; the per-row cost is one regex
+    automaton traversal per pattern per direction, which is inherent —
+    a single alternation pass cannot emit per-type replacement tokens
+    without a UDF, and counts must run on the ORIGINAL text (Spark
+    desugars regexp_count to size(regexp_extract_all), so the two
+    count forms are the same physical expression). The
+    conservative phone pattern (+-prefixed, >= 9 digits/separators)
+    trades recall for a near-zero false-positive rate on numerics-heavy
+    web text; swap patterns per policy, keeping to the Java∩RE2 regex
+    subset if the DuckDB oracle must keep certifying the scrub."""
     out = documents.select(F.col("doc_id"), F.col(text_col).alias("redacted"))
     counts = []
     for name, pattern, token in PII_PATTERNS:
         counts.append(
-            F.size(F.regexp_extract_all("redacted", F.lit(pattern), F.lit(0)))
-            .alias(f"n_{name}")
+            F.regexp_count("redacted", F.lit(pattern)).alias(f"n_{name}")
         )
     # counts computed on the ORIGINAL text (sequentially-scrubbed text
     # would hide overlaps), scrub applied in declared order

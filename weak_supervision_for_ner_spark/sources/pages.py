@@ -246,6 +246,35 @@ def synth_pages(spark: SparkSession, n_docs: int, seed: int = 42,
     return base.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
+def synth_pages_hot_domain(
+    spark: SparkSession, n_docs: int, seed: int = 42,
+    partitions: int | None = None, hot_frac: int = 2, n_templates: int = 128,
+) -> DataFrame:
+    """Adversarially SKEWED corpus for the skew-stress bench: every
+    ``hot_frac``-th doc (default: 50%) serves one of only
+    ``n_templates`` distinct texts from a single hot domain — the
+    hot-domain + boilerplate-content shape that melts un-salted
+    partitionings and uncapped LSH buckets. Same schema and row count
+    as :func:`synth_pages`; urls stay unique (crawls re-crawl content
+    under new urls, they do not duplicate urls)."""
+    base = spark.range(0, n_docs, numPartitions=partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i % hot_frac == 0:
+                    page = dict(make_page(i % n_templates, seed)[0])
+                    page["url"] = f"https://hot.example.net/article/{i}"
+                else:
+                    page = make_page(i, seed)[0]
+                rows.append(page)
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return base.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
 GOLD_SCHEMA = T.StructType([
     T.StructField("url", T.StringType(), False),
     T.StructField("start", T.IntegerType(), False),
