@@ -210,6 +210,8 @@ def main() -> None:
     run("ann_lsh_topk_200q", q_ann_lsh_topk(entrymod))
     run("ann_ivf_topk_200q", q_ann_ivf_topk(entrymod))
     run("ann_ivf_np_200q", q_ann_ivf_np(entrymod))
+    run("repetition_signals", entrymod.q_repetition_signals)
+    run("decontaminate", entrymod.q_decontaminate)
     run("agg_rollup", entrymod.q_agg_rollup)
     run("join_equi", entrymod.q_join_equi)
     run("events_windowed", entrymod.q_events_windowed)

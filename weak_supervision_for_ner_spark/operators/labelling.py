@@ -580,16 +580,26 @@ def standardise(doc: Doc) -> None:
         # skipping them would drift from the historical output by an
         # ulp, which the (conf, tie-break) vote could amplify.
         rewritable = _standardise_rewritable(source)
-        if not any(
-            any(label in rewritable for label, _ in vals)
-            or (len(vals) > 1 and sum(c for _, c in vals) > 1.0)
-            # the >1.0-total guard assumes non-negative confs: with a
-            # negative conf a PREFIX of vals can exceed 1.0 while the
-            # total does not, and doc.add would renormalise mid-rebuild
-            # — such layers must take the rebuild (r4 advice)
-            or any(c < 0 for _, c in vals)
-            for vals in doc.layers[source].values()
-        ):
+        # Single flat pass, no nested generator expressions — this
+        # check runs per layer per doc TWICE, and generator allocation
+        # here measurably shows in the flagship wall-time. A layer
+        # needs the rebuild iff any span has a rewritable label, a
+        # multi-label conf mass > 1.0 (doc.add would re-renormalise by
+        # an ulp), or ANY negative conf (with one, a PREFIX of vals
+        # can exceed 1.0 while the total does not — r4 advice — so the
+        # fast-path must not trust the total).
+        needs_rebuild = False
+        for vals in doc.layers[source].values():
+            total = 0.0
+            for label, conf in vals:
+                if label in rewritable or conf < 0:
+                    needs_rebuild = True
+                    break
+                total += conf
+            if needs_rebuild or (len(vals) > 1 and total > 1.0):
+                needs_rebuild = True
+                break
+        if not needs_rebuild:
             continue
         current = dict(doc.layers[source])
         doc.clear(source)
