@@ -1502,13 +1502,16 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((COALESCE(ls.chars, 0) - COALESCE(ds.dchars, 0))
                          / greatest(COALESCE(ls.chars, 0), 1), 4) AS dup_line_char_frac,
                    CASE WHEN COALESCE(gs.ng, 0) = 0 THEN 0.0
-                        ELSE ROUND(gs.topc / gs.ng, 4) END AS top_2gram_frac
+                        ELSE ROUND(gs.topc / gs.ng, 4) END AS top_2gram_frac,
+                   COALESCE(gs.ng, 0) AS n_2grams
             FROM chunked c
             LEFT JOIN ls ON c.doc_id = ls.doc_id
             LEFT JOIN ds ON c.doc_id = ds.doc_id
             LEFT JOIN gs ON c.doc_id = gs.doc_id)
-        SELECT *, (dup_line_frac > 0.30 OR dup_line_char_frac > 0.20
-                   OR top_2gram_frac > 0.20) AS flagged
+        SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+               top_2gram_frac,
+               (dup_line_frac > 0.30 OR dup_line_char_frac > 0.20
+                OR (top_2gram_frac > 0.20 AND n_2grams >= 20)) AS flagged
         FROM feat
     """
 
@@ -1519,7 +1522,8 @@ def oracle_sql() -> dict[str, str]:
     sql["decontaminate"] = """
         WITH dt AS (
             SELECT doc_id,
-                   string_split_regex(lower(trim(text)), '\\s+') AS toks
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> x <> '') AS toks
             FROM documents),
         dwin AS (
             SELECT doc_id,
@@ -1528,10 +1532,12 @@ def oracle_sql() -> dict[str, str]:
                         ELSE array_to_string(toks, ' ') END AS w
             FROM dt, unnest(CASE WHEN len(toks) >= 8
                                  THEN range(1, len(toks) - 6)
-                                 ELSE [1] END) AS t(i)),
+                                 WHEN len(toks) > 0 THEN [1]
+                                 ELSE [] END) AS t(i)),
         pt AS (
-            SELECT string_split_regex(
-                       array_to_string(list_slice(toks, 1, 12), ' '), ' ') AS toks
+            SELECT list_filter(string_split_regex(
+                       array_to_string(list_slice(toks, 1, 12), ' '), ' '),
+                       x -> x <> '') AS toks
             FROM dt WHERE doc_id % 40 = 0),
         pw AS (
             SELECT DISTINCT
@@ -1540,7 +1546,8 @@ def oracle_sql() -> dict[str, str]:
                         ELSE array_to_string(toks, ' ') END AS w
             FROM pt, unnest(CASE WHEN len(toks) >= 8
                                  THEN range(1, len(toks) - 6)
-                                 ELSE [1] END) AS t(i)),
+                                 WHEN len(toks) > 0 THEN [1]
+                                 ELSE [] END) AS t(i)),
         hits AS (
             SELECT d.doc_id, count(*) AS n_hits
             FROM dwin d JOIN pw ON d.w = pw.w GROUP BY 1)

@@ -1,11 +1,18 @@
 """Skew-stress evidence (r4 verdict item 7): run the flagship KG
-pipeline and the near-dup corpus filter on a UNIFORM corpus vs an
-adversarially SKEWED one (50% of docs = one hot domain serving 128
-boilerplate templates; 50% of dedup docs = one near-identical
-mega-cluster) and record the wall-time ratio. The claim under test:
-the salting / star-edge / bucket-cap / exact-collapse designs keep
-skewed wall-time within ~1.3x of uniform — proven by measurement, not
-by construction.
+pipeline and the near-dup corpus filter on a SPREAD corpus vs an
+adversarially SKEWED one and record the wall-time ratio. Both sides
+of each comparison carry the IDENTICAL work content so the ratio
+isolates skew handling:
+- kg: 50% of docs are hot-domain boilerplate (128 templates) in both
+  variants — interleaved through the id space vs concentrated in one
+  contiguous block (whole input partitions all-boilerplate); the text
+  multisets are identical (certified by identical triple counts).
+- dedup: 50% of docs are near-dups in both variants — 50k 2-member
+  clusters vs ONE 100k-member mega-cluster (same dup mass; a no-dup
+  baseline would run zero CC rounds and overstate the ratio).
+The claim under test: the salting / star-edge / bucket-cap /
+exact-collapse designs keep skewed wall-time within ~1.3x — proven by
+measurement, not by construction.
 
 Each measurement runs in a fresh subprocess JVM at local[16] (the
 scaling bench's protocol). Appends a section to BENCH_SCALING.md.
@@ -22,7 +29,7 @@ import sys
 import time
 
 KG_JOB = r"""
-import sys, time, json
+import os, sys, time, json
 from weak_supervision_for_ner_spark.config import get_spark
 from weak_supervision_for_ner_spark.sources.pages import synth_pages, synth_pages_hot_domain
 from weak_supervision_for_ner_spark.plans.pipeline import run_kg_pipeline
@@ -32,8 +39,20 @@ spark = get_spark(f"skew-kg-{variant}", cores=cores, shuffle_partitions=cores)
 spark.range(1000).selectExpr("sum(id)").collect()
 wa, wm, wg = run_kg_pipeline(spark, synth_pages(spark, 200, partitions=cores))
 wg.count(); wa.unpersist(); wm.unpersist()
-gen = synth_pages if variant == "uniform" else synth_pages_hot_domain
-pages = gen(spark, n_docs, partitions=cores * 2).persist()
+# 'spread' and 'skewed' generate the IDENTICAL multiset of texts (50%
+# hot-domain boilerplate templates either way); only the PLACEMENT
+# differs — interleaved vs one contiguous all-boilerplate id block —
+# so the ratio isolates data-placement skew from work content.
+# 'uniform' (no dups at all) is kept selectable for context runs.
+part_mult = int(os.environ.get("SPARK_GRAFT_SKEW_PART_MULT", "2"))
+if variant == "uniform":
+    pages = synth_pages(spark, n_docs, partitions=cores * part_mult)
+else:
+    placement = "interleaved" if variant == "spread" else "block"
+    pages = synth_pages_hot_domain(
+        spark, n_docs, partitions=cores * part_mult, placement=placement
+    )
+pages = pages.persist()
 pages.count()
 t0 = time.time()
 annotated, mentions, graph = run_kg_pipeline(spark, pages, aggregator="majority")
@@ -122,7 +141,7 @@ def main() -> None:
     # handling from the cost of clustering itself, which a no-dup
     # uniform baseline would conflate (uniform runs ZERO CC rounds)
     for name, job, n, base_variant in (
-        ("kg", KG_JOB, n_kg, "uniform"),
+        ("kg", KG_JOB, n_kg, "spread"),
         ("dedup_drop_near", DEDUP_JOB, n_dd, "spread"),
     ):
         uni = run(job, cores, n, base_variant)
@@ -140,7 +159,8 @@ def main() -> None:
             f"\n## Skew stress (local[{cores}], load {load})\n\n"
             f"| job | n_docs | baseline | skewed (50% hot) | ratio |\n"
             f"|---|---|---|---|---|\n"
-            f"| kg_pipeline_mv | {kg['n_docs']} | uniform {kg['uniform']['sec']}s "
+            f"| kg_pipeline_mv | {kg['n_docs']} | {kg['baseline_variant']} "
+            f"{kg['uniform']['sec']}s "
             f"| {kg['skewed']['sec']}s | {kg['skew_ratio']} |\n"
             f"| dedup_drop_near | {dd['n_docs']} | {dd['baseline_variant']} "
             f"{dd['uniform']['sec']}s "

@@ -845,11 +845,26 @@ def test_repetition_signals(spark):
     assert got[1]["n_lines"] == 4 and got[1]["dup_line_frac"] == 0.25
     # 10 chars of the repeated 'alpha beta' over 43 total line chars
     assert got[1]["dup_line_char_frac"] == round(10 / 43, 4)
-    assert got[2]["top_2gram_frac"] == 0.6 and got[2]["flagged"]
+    assert got[2]["top_2gram_frac"] == 0.6
+    # short doc (5 2-grams < 20): the 2-gram rule must NOT fire — a
+    # clean 4-token title would otherwise always be rejected (r5
+    # review); line rules still apply to short docs (doc 5 below)
+    assert not got[2]["flagged"]
     assert got[3]["dup_line_frac"] == 0.0 and not got[3]["flagged"]
     assert got[4]["n_lines"] == 0 and got[4]["dup_line_frac"] == 0.0
     assert got[5]["n_lines"] == 3 and got[5]["dup_line_frac"] == round(2 / 3, 4)
     assert got[5]["flagged"]
+    # long repetitive doc: the 2-gram rule fires above the 20-gram gate
+    long_rep = spark.createDataFrame(
+        [(9, " ".join(["a b"] * 15))], "doc_id long, text string"
+    )
+    r9 = repetition_signals(long_rep).collect()[0]
+    assert r9["top_2gram_frac"] > 0.2 and r9["flagged"]
+    # long clean doc stays unflagged
+    clean = spark.createDataFrame(
+        [(10, " ".join(f"w{i}" for i in range(40)))], "doc_id long, text string"
+    )
+    assert not repetition_signals(clean).collect()[0]["flagged"]
 
 
 def test_repetition_signals_plan_is_narrow(spark):
@@ -883,6 +898,15 @@ def test_decontaminate(spark):
     )
     got = {r["doc_id"]: r for r in decontaminate(docs, probes, n=8).collect()}
     assert got[1]["contaminated"] and got[1]["n_hits"] == 2   # both probe windows
+    # an empty/whitespace probe must contribute NO windows: blank docs
+    # would otherwise all match the ''-window (r5 review)
+    blanks = spark.createDataFrame(
+        [(11, ""), (12, "   "), (13, "real content here")],
+        "doc_id long, text string",
+    )
+    blank_probe = spark.createDataFrame([("",), ("   ",)], "text string")
+    bt = {r["doc_id"]: r for r in decontaminate(blanks, blank_probe, n=8).collect()}
+    assert not any(bt[i]["contaminated"] for i in (11, 12, 13))
     assert not got[2]["contaminated"] and got[2]["n_hits"] == 0
     assert got[3]["contaminated"] and got[3]["n_hits"] == 2
     assert got[4]["contaminated"]          # exact short-probe match
@@ -944,6 +968,34 @@ def test_drop_boilerplate_lines(spark):
     assert got[3]["n_dropped"] == 0
     assert got[4]["cleaned"] == "" and got[4]["n_dropped"] == 2
     assert got[5]["cleaned"] == "unique five" and got[5]["n_lines"] == 1
+
+
+def test_drop_boilerplate_collision_branch(spark):
+    """Force the 64-bit-collision resolution path via the hash test
+    seam (a real xxhash64 collision is unreachable): primary hash =
+    line length (so distinct same-length lines 'collide'), secondary =
+    real xxhash64 (detects it). The exact raw-line recount must drop
+    ONLY the genuinely frequent lines inside collided groups."""
+    from pyspark.sql import functions as F
+
+    from weak_supervision_for_ner_spark.operators.dedup import drop_boilerplate_lines
+
+    rows = [
+        (1, "aaaa\nuniq1x"),      # 'aaaa' frequent; 'bbbb' (same len) rare
+        (2, "aaaa\nuniq2xy"),
+        (3, "bbbb\nuniq3xyz"),
+        (4, "cccc dd\nuniq4xyzw"),  # unique lines only
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    seam = (lambda c: F.length(c).cast("long"), lambda c: F.xxhash64(c))
+    got = {r["doc_id"]: r for r in
+           drop_boilerplate_lines(docs, min_docs=2, _hash_exprs=seam).collect()}
+    assert got[1]["cleaned"] == "uniq1x" and got[1]["n_dropped"] == 1
+    assert got[2]["cleaned"] == "uniq2xy"
+    # 'bbbb' collides with 'aaaa' under the fake hash but is rare —
+    # the exact recount must KEEP it
+    assert got[3]["cleaned"] == "bbbb\nuniq3xyz" and got[3]["n_dropped"] == 0
+    assert got[4]["n_dropped"] == 0
 
 
 def test_drop_boilerplate_plan_partial_agg_no_cartesian(spark):

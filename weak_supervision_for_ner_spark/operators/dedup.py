@@ -548,6 +548,7 @@ def drop_near_duplicates(
 def drop_boilerplate_lines(
     documents: DataFrame, min_docs: int = 2, text_col: str = "text",
     sep: str = "\n", id_col: str = "doc_id",
+    _hash_exprs: tuple | None = None,
 ) -> DataFrame:
     """Corpus-level boilerplate removal (the CCNet/RefinedWeb line-dedup
     step): delete every line that appears verbatim in >= ``min_docs``
@@ -578,13 +579,30 @@ def drop_boilerplate_lines(
     distinct lines agreeing on both hashes is the ~2^-128 bound the
     md5-keyed exact dedup already accepts), and detected-collision
     groups take an exact raw-line recount + raw-line anti-join —
-    observable, never silently wrong."""
+    observable, never silently wrong.
+
+    EXECUTION NOTE: the collision probe runs ONE eager Spark job at
+    call time (corpus scan + the hash-keyed frequency aggregation into
+    the small persisted ``flagged`` table); the returned DataFrame's
+    own execution then reuses that cache, so the aggregation is paid
+    exactly once overall — but callers that only build the plan still
+    pay it, and the cache follows the canonicalize_triples contract
+    (released by the session's cache clear, e.g. the pipeline CLI's
+    ``clearCache``). ``_hash_exprs`` is a TEST SEAM: a (primary,
+    secondary) pair of column functions replacing the two xxhash64s so
+    the collision-resolution branch — unreachable without a real
+    64-bit collision — can be forced and asserted
+    (tests/test_dataops.py::test_drop_boilerplate_collision_branch)."""
+    h1, h2 = _hash_exprs or (
+        lambda c: F.xxhash64(c),
+        lambda c: F.xxhash64(F.lit(7), c),
+    )
     lines = (
         documents
         .select(F.col(id_col), F.posexplode(F.split(F.col(text_col), sep))
                 .alias("pos", "line"))
         .filter(F.length(F.trim("line")) > 0)
-        .withColumn("lh", F.xxhash64("line"))
+        .withColumn("lh", h1(F.col("line")))
     )
     # One frequency pass keyed by the hash; the output is filtered to
     # frequent-or-collided groups BEFORE materializing, so the persisted
@@ -592,7 +610,7 @@ def drop_boilerplate_lines(
     # (The persist is released by the caller's session cache clear, the
     # same contract as canonicalize_triples' linked cache.)
     flagged = (
-        lines.withColumn("lh2", F.xxhash64(F.lit(7), "line"))
+        lines.withColumn("lh2", h2(F.col("line")))
         .groupBy("lh")
         .agg(
             F.count_distinct(id_col).alias("nd"),

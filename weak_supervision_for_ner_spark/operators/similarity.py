@@ -36,6 +36,20 @@ def _cosine(va: str, vb: str):
     return dot / (F.greatest(na, F.lit(1e-12)) * F.greatest(nb, F.lit(1e-12)))
 
 
+def _collect_bounded_queries(queries: DataFrame, vec_col: str, max_queries: int):
+    """Collect the (query_id, vector) rows that every numpy kernel
+    broadcasts, enforcing the shared driver-OOM cap — one guard for
+    the brute scan and the pair re-rank so the contract cannot drift."""
+    rows = queries.select("query_id", F.col(vec_col).alias("qvec")) \
+                  .limit(max_queries + 1).collect()
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"more than {max_queries} query vectors; the query matrix is "
+            "broadcast — raise max_queries explicitly if that is intended"
+        )
+    return rows
+
+
 def brute_force_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -91,13 +105,7 @@ def brute_force_topk(
     import pandas as pd
     from pyspark.sql import types as T
 
-    q_rows = queries.select("query_id", F.col(vec_col).alias("qvec")) \
-                    .limit(max_queries + 1).collect()
-    if len(q_rows) > max_queries:
-        raise ValueError(
-            f"more than {max_queries} query vectors; the query matrix is "
-            "broadcast — raise max_queries explicitly if that is intended"
-        )
+    q_rows = _collect_bounded_queries(queries, vec_col, max_queries)
     spark = embeddings.sparkSession
     if not q_rows:
         schema = "query_id long, neighbor_id long, cosine double, rank long"
@@ -191,15 +199,7 @@ def _numpy_pair_rerank(
     import pandas as pd
     from pyspark.sql import types as T
 
-    # same driver-OOM guard as the brute kernel: the query matrix is
-    # collected and broadcast, so its size must be a conscious choice
-    q_rows = queries.select("query_id", F.col(vec_col).alias("qvec")) \
-                    .limit(max_queries + 1).collect()
-    if len(q_rows) > max_queries:
-        raise ValueError(
-            f"more than {max_queries} query vectors; the query matrix is "
-            "broadcast — raise max_queries explicitly if that is intended"
-        )
+    q_rows = _collect_bounded_queries(queries, vec_col, max_queries)
     qmap = {}
     for r in q_rows:
         v = np.asarray(list(r["qvec"]), dtype=np.float64)

@@ -100,7 +100,11 @@ def repetition_signals(documents: DataFrame, text_col: str = "text") -> DataFram
       in the SORTED 2-gram array (no per-doc map building).
     - ``flagged``: the Gopher-style rejection decision
       (dup_line_frac > 0.30 or dup_line_char_frac > 0.20 or
-      top_2gram_frac > 0.20).
+      top_2gram_frac > 0.20). The 2-gram rule only applies to docs
+      with >= 20 2-grams: below that the ratio is floor-bounded by
+      1/n_grams (a clean 4-token title scores 0.33), so short docs
+      would ALL be rejected — Gopher likewise gates its repetition
+      ratios behind a min-length filter.
 
     All pure built-ins/HOFs in ONE narrow projection — no UDF, no
     shuffle, no explode: at 100 TB this runs at scan speed. Cost is
@@ -145,13 +149,14 @@ def repetition_signals(documents: DataFrame, text_col: str = "text") -> DataFram
         F.round(
             F.when(F.size(grams) == 0, 0.0).otherwise(top_run / F.size(grams)), 4
         ).alias("top_2gram_frac"),
+        F.size(grams).cast("long").alias("_n_2grams"),
     )
     return out.withColumn(
         "flagged",
         (F.col("dup_line_frac") > 0.30)
         | (F.col("dup_line_char_frac") > 0.20)
-        | (F.col("top_2gram_frac") > 0.20),
-    )
+        | ((F.col("top_2gram_frac") > 0.20) & (F.col("_n_2grams") >= 20)),
+    ).drop("_n_2grams")
 
 
 def decontaminate(
@@ -175,10 +180,17 @@ def decontaminate(
     boilerplate key). Texts shorter than ``n`` tokens (probe or doc)
     contribute their full token sequence as one window, so a sub-n
     probe only flags docs whose full windows equal it exactly —
-    standard suites use probes >= n, where containment is complete."""
+    standard suites use probes >= n, where containment is complete.
+    Empty/whitespace-only texts contribute no windows at all."""
 
     def windows(col):
-        toks = F.split(F.lower(F.trim(col)), r"\s+")
+        # drop empty tokens so an empty/whitespace-only text yields NO
+        # windows — otherwise every blank probe row (common in
+        # benchmark dumps) would hash to the ''-window and flag every
+        # blank document as contaminated (r5 review)
+        toks = F.filter(
+            F.split(F.lower(F.trim(col)), r"\s+"), lambda x: x != F.lit("")
+        )
         nwin = F.size(toks) - (n - 1)
         # sequence(1, 0) is DESCENDING in Spark: docs shorter than n
         # take the explicit full-sequence branch instead
@@ -188,7 +200,9 @@ def decontaminate(
                 F.sequence(F.lit(1), nwin),
                 lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
             ),
-        ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
+        ).when(
+            F.size(toks) > 0, F.array(F.xxhash64(F.concat_ws(" ", toks)))
+        ).otherwise(F.array().cast("array<bigint>"))
 
     probe_grams = (
         probes.select(F.explode(windows(F.col(probe_text_col))).alias("gh"))

@@ -28,7 +28,12 @@ from weak_supervision_for_ner_spark.operators.aggregate import N_SOURCES, N_STAT
 
 
 def oracle_annotate(pages: list[dict], form_freqs: dict | None = None) -> list[dict]:
-    """[{url, text}, ...] -> [{url, tokens, spans}, ...]"""
+    """[{url, text}, ...] -> [{url, tokens, spans}, ...].
+
+    Missing ``lang`` defaults to "en" (test convenience for bare
+    {url, text} dicts); a page with lang present but != "en" — or
+    explicitly None, matching Spark's null-excluding
+    ``F.col("lang") == "en"`` filter — is skipped."""
     gazetteers = build_gazetteers()
     out = []
     for page in pages:
@@ -125,9 +130,16 @@ def oracle_triples(annotated: list[dict], mentions: list[tuple]) -> list[tuple]:
 _JAVA_WS = "[ \\t\\n\\x0b\\f\\r]+"
 
 
-def oracle_form_frequencies(pages: list[dict], min_count: int = 2) -> dict:
-    """Single-node mirror of textstats.collect_form_frequency_dict
-    (split on \\s+, alphabetic forms only, total count >= min_count)."""
+def oracle_form_frequencies(
+    pages: list[dict], min_count: int = 2, max_entries: int = 500_000
+) -> dict:
+    """Single-node mirror of textstats.collect_form_frequency_dict:
+    split on \\s+, alphabetic forms only, total count >= min_count,
+    and the SAME bounded collect — at most ``max_entries`` lowercase
+    forms ordered by (corpus frequency desc, lform asc). Lang
+    filtering mirrors the Spark side's null-excluding equality (a page
+    whose lang is None is skipped; only a MISSING key defaults to en,
+    matching oracle_annotate's test convenience)."""
     import re
 
     counts: dict[str, dict[str, int]] = {}
@@ -138,11 +150,12 @@ def oracle_form_frequencies(pages: list[dict], min_count: int = 2) -> dict:
             if form and form.isascii() and form.isalpha():
                 counts.setdefault(form.lower(), {})
                 counts[form.lower()][form] = counts[form.lower()].get(form, 0) + 1
-    return {
-        lform: forms
-        for lform, forms in counts.items()
-        if sum(forms.values()) >= min_count
-    }
+    kept = sorted(
+        ((lform, forms) for lform, forms in counts.items()
+         if sum(forms.values()) >= min_count),
+        key=lambda kv: (-sum(kv[1].values()), kv[0]),
+    )[:max_entries]
+    return dict(kept)
 
 
 def _norm_surface(s: str) -> str:

@@ -249,26 +249,54 @@ def synth_pages(spark: SparkSession, n_docs: int, seed: int = 42,
 def synth_pages_hot_domain(
     spark: SparkSession, n_docs: int, seed: int = 42,
     partitions: int | None = None, hot_frac: int = 2, n_templates: int = 128,
+    placement: str = "interleaved",
 ) -> DataFrame:
-    """Adversarially SKEWED corpus for the skew-stress bench: every
-    ``hot_frac``-th doc (default: 50%) serves one of only
-    ``n_templates`` distinct texts from a single hot domain — the
-    hot-domain + boilerplate-content shape that melts un-salted
-    partitionings and uncapped LSH buckets. Same schema and row count
-    as :func:`synth_pages`; urls stay unique (crawls re-crawl content
-    under new urls, they do not duplicate urls)."""
+    """Adversarially SKEWED corpus for the skew-stress bench: 1 in
+    ``hot_frac`` docs (default: 50%) serves one of only ``n_templates``
+    distinct texts from a single hot domain — the hot-domain +
+    boilerplate-content shape that melts un-salted partitionings and
+    uncapped LSH buckets. Urls stay unique (crawls re-crawl content
+    under new urls, they do not duplicate urls).
+
+    ``placement`` controls WHERE the hot docs sit in the id space, and
+    is designed so both values generate the IDENTICAL multiset of
+    texts (the skew ratio then isolates data placement from work
+    content — r5 review: differing text mass between variants
+    conflated workload with skew):
+    - "interleaved": hot docs at i % hot_frac == 0, template
+      (i // hot_frac) % n_templates, cold docs = make_page(i) at the
+      remaining ids (note (i//hot_frac)%n, NOT i%n — hot ids share a
+      stride with hot_frac, so i%128 over even ids reaches only 64
+      templates);
+    - "block": the same hot docs occupy the CONTIGUOUS front
+      [0, n/hot_frac) of the id space (template rank % n_templates) and
+      the same cold docs fill the rest — with range-partitioned input,
+      whole partitions become all-boilerplate, the worst case for
+      per-partition work balance."""
     base = spark.range(0, n_docs, numPartitions=partitions)
+    n_hot = n_docs // hot_frac
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
                 i = int(i)
-                if i % hot_frac == 0:
-                    page = dict(make_page(i % n_templates, seed)[0])
+                if placement == "interleaved":
+                    hot, rank = (i % hot_frac == 0), i // hot_frac
+                    cold_id = i
+                else:
+                    hot, rank = (i < n_hot), i
+                    # cold rank r maps to the SAME cold doc ids the
+                    # interleaved layout uses (ids not divisible by
+                    # hot_frac), keeping the text multisets identical
+                    r = i - n_hot
+                    cold_id = (r // (hot_frac - 1)) * hot_frac + (r % (hot_frac - 1)) + 1
+                if hot:
+                    page = dict(make_page(rank % n_templates, seed)[0])
                     page["url"] = f"https://hot.example.net/article/{i}"
                 else:
-                    page = make_page(i, seed)[0]
+                    page = dict(make_page(cold_id, seed)[0])
+                    page["url"] = page["url"] + f"?p={i}"
                 rows.append(page)
             yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
