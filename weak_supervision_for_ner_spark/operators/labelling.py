@@ -511,18 +511,40 @@ def gazetteer_hits(doc: Doc, trie: TokenTrie, case_sensitive: bool, lookahead: i
     legal-suffix extension, and skip-ahead after a hit."""
     tokens = doc.tokens
     n = len(tokens)
+    # Inline first-token gate: the overwhelming majority of positions
+    # miss the trie at the ROOT, so test root membership here (one dict
+    # containment; the int _VALUE sentinel never collides with str
+    # tokens) instead of paying a longest_prefix_at call + loop
+    # prologue per position — ~2x on the gazetteer stage, which is the
+    # annotation profile's top entry.
+    root = trie.root
+    alt_forms = doc.alt_forms
+    is_punct, likely_proper, in_compound = (
+        doc.is_punct, doc.likely_proper, doc.in_compound,
+    )
     i = 0
     while i < n:
-        if doc.is_punct[i]:
+        if is_punct[i]:
             i += 1
             continue
         # Skip if inside a compound phrase started by the previous token
-        if i > 0 and doc.likely_proper[i - 1] and doc.in_compound[i - 1] and doc.in_compound[i]:
+        if i > 0 and likely_proper[i - 1] and in_compound[i - 1] and in_compound[i]:
             i += 1
             continue
+        tok = tokens[i]
+        if tok not in root:
+            if case_sensitive:
+                i += 1
+                continue
+            for alt in alt_forms[i]:
+                if alt != tok and alt in root:
+                    break
+            else:
+                i += 1
+                continue
         length, value = trie.longest_prefix_at(
             tokens, i, min(i + lookahead, n),
-            None if case_sensitive else doc.alt_forms,
+            None if case_sensitive else alt_forms,
         )
         if length:
             if not any(doc.likely_proper[k] for k in range(i, i + length)):
