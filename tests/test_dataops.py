@@ -929,6 +929,31 @@ def test_decontaminate_plan_broadcasts_probes(spark):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
 
 
+def test_hot_domain_placements_share_text_multiset(spark):
+    """The skew bench's work-controlled property: 'interleaved' and
+    'block' placements must generate the IDENTICAL multiset of texts
+    (only data placement differs), and urls stay unique."""
+    from collections import Counter
+
+    from weak_supervision_for_ner_spark.sources.pages import synth_pages_hot_domain
+
+    a = Counter(r["text"] for r in
+                synth_pages_hot_domain(spark, 1200, placement="interleaved").collect())
+    rows_b = synth_pages_hot_domain(spark, 1200, placement="block").collect()
+    b = Counter(r["text"] for r in rows_b)
+    assert a == b
+    assert len({r["url"] for r in rows_b}) == 1200
+    # 50% hot: 600 hot docs over 128 templates
+    hot = [r for r in rows_b if r["url"].startswith("https://hot.example.net/")]
+    assert len(hot) == 600
+    # the 128 template ids yield a few coincidentally-identical texts;
+    # compare against the generator's own distinct count
+    from weak_supervision_for_ner_spark.sources.pages import make_page
+
+    expected = len({make_page(t, 42)[0]["text"] for t in range(128)})
+    assert len({r["text"] for r in hot}) == expected
+
+
 def test_cap_per_domain(spark):
     from weak_supervision_for_ner_spark.operators.textstats import cap_per_domain
 
