@@ -515,10 +515,15 @@ def q_decontaminate(spark, sf_dir):
     from weak_supervision_for_ner_spark.operators.textstats import decontaminate
 
     docs = _t(spark, sf_dir, "documents")
+    # filter empty tokens BEFORE slicing, exactly like the operator's
+    # own windowing (and the DuckDB oracle): a leading tab/newline
+    # survives Spark's space-only trim() and would otherwise burn one
+    # of the 12 probe slots on an empty token
+    toks = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != F.lit("")
+    )
     probes = docs.filter(F.col("doc_id") % 40 == 0).select(
-        F.concat_ws(
-            " ", F.slice(F.split(F.lower(F.trim("text")), r"\s+"), 1, 12)
-        ).alias("text")
+        F.concat_ws(" ", F.slice(toks, 1, 12)).alias("text")
     )
     return decontaminate(docs, probes, n=8)
 

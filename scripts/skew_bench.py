@@ -148,7 +148,7 @@ def main() -> None:
         skw = run(job, cores, n, "skewed")
         ratio = round(skw["sec"] / uni["sec"], 3)
         results[name] = {"n_docs": n, "baseline_variant": base_variant,
-                         "uniform": uni, "skewed": skw, "skew_ratio": ratio}
+                         "baseline": uni, "skewed": skw, "skew_ratio": ratio}
         print(f"# {name}: {base_variant} {uni['sec']}s vs skewed {skw['sec']}s "
               f"-> ratio {ratio}", file=sys.stderr)
     print(json.dumps({"metric": "skew_stress", **results}))
@@ -160,10 +160,10 @@ def main() -> None:
             f"| job | n_docs | baseline | skewed (50% hot) | ratio |\n"
             f"|---|---|---|---|---|\n"
             f"| kg_pipeline_mv | {kg['n_docs']} | {kg['baseline_variant']} "
-            f"{kg['uniform']['sec']}s "
+            f"{kg['baseline']['sec']}s "
             f"| {kg['skewed']['sec']}s | {kg['skew_ratio']} |\n"
             f"| dedup_drop_near | {dd['n_docs']} | {dd['baseline_variant']} "
-            f"{dd['uniform']['sec']}s "
+            f"{dd['baseline']['sec']}s "
             f"| {dd['skewed']['sec']}s | {dd['skew_ratio']} |\n"
         )
 

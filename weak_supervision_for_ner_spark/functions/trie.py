@@ -76,7 +76,15 @@ class TokenTrie:
         this at every document position), and takes the per-token
         case alternatives precomputed once per doc (``Doc.alt_forms``)
         instead of allocating three strings per visited token per
-        uncased gazetteer. ``alts=None`` = case-sensitive."""
+        uncased gazetteer. ``alts=None`` = case-sensitive.
+
+        LOCKSTEP NOTE: labelling.gazetteer_hits inlines this method's
+        FIRST-token lookup (exact token in root, else alt forms with
+        alt != tok) as a pre-call gate — if the matching rule here ever
+        changes (token normalization, alt ordering, trying alts when
+        the exact token IS present), update the gate or it will prune
+        positions this method would match. Pinned by
+        tests/test_trie.py::test_gazetteer_root_gate_matches_ungated_scan."""
         node = self.root
         value = None
         length = 0

@@ -273,6 +273,16 @@ def synth_pages_hot_domain(
       the same cold docs fill the rest — with range-partitioned input,
       whole partitions become all-boilerplate, the worst case for
       per-partition work balance."""
+    if n_docs % hot_frac != 0:
+        # the two placements count hot docs differently on a remainder
+        # (ceil vs floor), silently breaking the identical-multiset
+        # invariant the skew ratios rest on — refuse rather than skew
+        # the skew bench (r5 review)
+        raise ValueError(
+            f"n_docs={n_docs} must be divisible by hot_frac={hot_frac}: "
+            "otherwise 'interleaved' and 'block' placements generate "
+            "different text multisets and the skew comparison is confounded"
+        )
     base = spark.range(0, n_docs, numPartitions=partitions)
     n_hot = n_docs // hot_frac
 
