@@ -539,6 +539,17 @@ def q_cap_per_domain(spark, sf_dir):
     )
 
 
+def q_pack_shards(spark, sf_dir):
+    """Training-shard sequence packing (concatenate-then-chop): docs
+    in doc_id order are chopped into 2048-token shards; each doc gets
+    (shard_id, shard_offset) of its first token. Distributed prefix
+    sum — per-partition cumsum + O(partitions) offset collect — never
+    a single-partition global window."""
+    from weak_supervision_for_ner_spark.operators.packing import pack_shards
+
+    return pack_shards(_t(spark, sf_dir, "documents"), budget=2048)
+
+
 def q_token_counts(spark, sf_dir):
     from weak_supervision_for_ner_spark.operators.textstats import token_counts
 
@@ -987,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "decontaminate": q_decontaminate,
         "cap_per_domain": q_cap_per_domain,
+        "pack_shards": q_pack_shards,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
         "form_frequencies": q_form_frequencies,
@@ -1559,6 +1571,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, COALESCE(n_hits, 0) AS n_hits,
                COALESCE(n_hits, 0) > 0 AS contaminated
         FROM documents LEFT JOIN hits USING (doc_id)
+    """
+
+    # the oracle computes the SAME global chop with a plain ordered
+    # window cumsum — certifying that the distributed two-phase prefix
+    # sum equals the single-node definition
+    sql["pack_shards"] = """
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST((start // 2048) AS BIGINT) AS shard_id,
+               CAST((start % 2048) AS BIGINT) AS shard_offset
+        FROM (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS start
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents))
     """
 
     sql["cap_per_domain"] = """

@@ -954,6 +954,35 @@ def test_hot_domain_placements_share_text_multiset(spark):
     assert len({r["text"] for r in hot}) == expected
 
 
+def test_pack_shards(spark):
+    """Concatenate-then-chop shard assignment: manual expectation plus
+    the distributed-correctness property — identical output at any
+    partition count (the two-phase prefix sum must equal the global
+    ordered cumsum)."""
+    from weak_supervision_for_ner_spark.operators.packing import pack_shards
+
+    rows = [
+        (1, " ".join(["w"] * 6)),    # start 0  -> shard 0, offset 0
+        (2, " ".join(["w"] * 5)),    # start 6  -> shard 0, offset 6
+        (3, " ".join(["w"] * 4)),    # start 11 -> shard 1, offset 1
+        (4, ""),                     # start 15 -> shard 1, offset 5
+        (5, " ".join(["w"] * 25)),   # start 15 -> shard 1, offset 5 (spans shards)
+        (6, "w w"),                  # start 40 -> shard 4, offset 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {1: (6, 0, 0), 2: (5, 0, 6), 3: (4, 1, 1), 4: (0, 1, 5),
+            5: (25, 1, 5), 6: (2, 4, 0)}
+    for nparts in (1, 3, 8):
+        got = {r["doc_id"]: (r["n_tokens"], r["shard_id"], r["shard_offset"])
+               for r in pack_shards(docs, budget=10, partitions=nparts).collect()}
+        assert got == want, nparts
+
+    import pytest
+
+    with pytest.raises(ValueError, match="budget"):
+        pack_shards(docs, budget=0)
+
+
 def test_cap_per_domain(spark):
     from weak_supervision_for_ner_spark.operators.textstats import cap_per_domain
 

@@ -1,0 +1,110 @@
+"""Training-shard sequence packing (the concatenate-then-chop step of
+LM data prep): documents are laid out in a deterministic global order
+and chopped into fixed token-budget shards; each doc is assigned the
+shard where it STARTS plus its token offset inside that shard.
+
+Scale design — the global running sum is computed WITHOUT a
+single-partition window (the naive ``Window.orderBy(doc_id)`` pulls
+the whole corpus through one task):
+
+1. ``repartitionByRange(doc_id)`` + in-partition sort gives disjoint,
+   ordered id ranges (the shard assignment depends only on the global
+   order, so range-boundary sampling cannot change the output);
+2. one narrow Arrow pass computes each partition's LOCAL exclusive
+   cumsum and its total;
+3. the O(partitions) per-partition totals collect to the driver, turn
+   into exclusive prefix offsets, and broadcast back into a final
+   projection.
+
+Total cost: one range shuffle of the narrow (id, n_tokens) projection
++ one tiny collect — the same pattern as zipWithIndex, expressed on
+DataFrames.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+
+def pack_shards(
+    documents: DataFrame, budget: int, id_col: str = "doc_id",
+    token_count_col: str | None = None, text_col: str = "text",
+    partitions: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, shard_id, shard_offset) — concatenate all
+    docs in ascending ``id_col`` order and chop into ``budget``-token
+    shards; a doc belongs to the shard containing its first token,
+    ``shard_offset`` is its token position inside that shard (a doc
+    longer than the remaining room simply runs into the next shard,
+    exactly like the training chop does).
+
+    ``token_count_col``: an existing per-doc token count column;
+    default derives whitespace token counts from ``text_col``."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if token_count_col is None:
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        ntok = F.when(
+            F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+        ).otherwise(F.size(toks)).cast("long")
+    else:
+        ntok = F.col(token_count_col).cast("long")
+
+    spark = documents.sparkSession
+    narrow = documents.select(F.col(id_col), ntok.alias("n_tokens"))
+    nparts = partitions or spark.sparkContext.defaultParallelism
+    ranged = narrow.repartitionByRange(nparts, F.col(id_col)) \
+                   .sortWithinPartitions(id_col)
+
+    local_schema = T.StructType([
+        narrow.schema[id_col],
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("local_start", T.LongType()),
+        T.StructField("pid", T.IntegerType()),
+    ])
+
+    def local_cumsum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        running = 0
+        for pdf in batches:
+            starts = pdf["n_tokens"].cumsum().shift(1, fill_value=0) + running
+            running += int(pdf["n_tokens"].sum())
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "n_tokens": pdf["n_tokens"],
+                "local_start": starts.astype("int64"),
+                "pid": pid,
+            })
+
+    local = ranged.mapInPandas(local_cumsum, schema=local_schema)
+    # O(partitions) driver rows -> exclusive prefix offsets. Cached so
+    # the totals job and the final projection share the ranged shuffle.
+    local = local.persist()
+    totals = {
+        r["pid"]: r["t"]
+        for r in local.groupBy("pid").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    offmap = F.create_map(
+        *[x for pid, off in sorted(offsets.items())
+          for x in (F.lit(pid), F.lit(off))]
+    ) if offsets else F.create_map()
+    # integer DIV, not float division: a double round-trip loses
+    # precision above 2^53 cumulative tokens (well inside 100 TB range)
+    return local.withColumn(
+        "gstart", F.col("local_start") + F.element_at(offmap, F.col("pid"))
+    ).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.expr(f"gstart DIV {int(budget)}").alias("shard_id"),
+        (F.col("gstart") % budget).alias("shard_offset"),
+    )
