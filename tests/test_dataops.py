@@ -981,6 +981,11 @@ def test_pack_shards(spark):
 
     with pytest.raises(ValueError, match="budget"):
         pack_shards(docs, budget=0)
+    # plan audit: ONE range shuffle of the narrow projection, and no
+    # global ordered window (the single-partition scalability trap)
+    plan = pack_shards(docs, budget=10)._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan, plan
+    assert "Window" not in plan, plan
 
 
 def test_cap_per_domain(spark):
