@@ -197,25 +197,51 @@ def main() -> None:
         print(f"# {name}: {n} rows, best {timings[name]}s of {times} "
               f"(load {loads[name]})", file=sys.stderr)
 
-    run("kg_pipeline_mv", entrymod.q_pages_triples)
-    run("hmm_fit_decode", entrymod.q_pages_hmm)
-    run("mentions_all_sources", entrymod.q_pages_mentions)
-    run("dedup_minhash_lsh", entrymod.q_minhash_lsh_pairs)
-    run("dedup_ngram_jaccard", entrymod.q_dedup_ngram_jaccard)
-    run("dedup_drop_near", entrymod.q_dedup_drop_near)
-    run("simhash_pairs", entrymod.q_simhash)
-    run("ann_topk", entrymod.q_ann_topk)
-    run("ann_brute_jvm_200q", q_ann_brute_jvm(entrymod))
-    run("ann_brute_np_200q", q_ann_brute_np(entrymod))
-    run("ann_lsh_topk_200q", q_ann_lsh_topk(entrymod))
-    run("ann_ivf_topk_200q", q_ann_ivf_topk(entrymod))
-    run("ann_ivf_np_200q", q_ann_ivf_np(entrymod))
-    run("repetition_signals", entrymod.q_repetition_signals)
-    run("decontaminate", entrymod.q_decontaminate)
-    run("agg_rollup", entrymod.q_agg_rollup)
-    run("join_equi", entrymod.q_join_equi)
-    run("events_windowed", entrymod.q_events_windowed)
-    run("quality_scores", entrymod.q_quality_scores)
+    queries_to_run = [
+        ("kg_pipeline_mv", entrymod.q_pages_triples),
+        ("hmm_fit_decode", entrymod.q_pages_hmm),
+        ("mentions_all_sources", entrymod.q_pages_mentions),
+        ("dedup_minhash_lsh", entrymod.q_minhash_lsh_pairs),
+        ("dedup_ngram_jaccard", entrymod.q_dedup_ngram_jaccard),
+        ("dedup_drop_near", entrymod.q_dedup_drop_near),
+        ("simhash_pairs", entrymod.q_simhash),
+        ("ann_topk", entrymod.q_ann_topk),
+        ("ann_brute_jvm_200q", q_ann_brute_jvm(entrymod)),
+        ("ann_brute_np_200q", q_ann_brute_np(entrymod)),
+        ("ann_lsh_topk_200q", q_ann_lsh_topk(entrymod)),
+        ("ann_ivf_topk_200q", q_ann_ivf_topk(entrymod)),
+        ("ann_ivf_np_200q", q_ann_ivf_np(entrymod)),
+        ("repetition_signals", entrymod.q_repetition_signals),
+        ("decontaminate", entrymod.q_decontaminate),
+        ("agg_rollup", entrymod.q_agg_rollup),
+        ("join_equi", entrymod.q_join_equi),
+        ("events_windowed", entrymod.q_events_windowed),
+        ("quality_scores", entrymod.q_quality_scores),
+    ]
+    for name, fn in queries_to_run:
+        run(name, fn)
+
+    # Contamination retry pass: the box's background load spikes
+    # mid-sweep (external to the bench — a sweep that STARTED idle has
+    # recorded per-query loads >17), and a loaded-box timing certifies
+    # nothing. Any query whose pre-run load exceeded the idle
+    # threshold gets ONE more best-of attempt after an idle wait; the
+    # kept value is the min, and the retry load lands in query_loads
+    # as "name:retry" so the artifact stays self-documenting.
+    contaminated = [
+        (name, fn) for name, fn in queries_to_run
+        if loads.get(name, 0.0) >= load_threshold
+    ]
+    for name, fn in contaminated:
+        load_now = _wait_for_idle(load_threshold, max_wait, 10,
+                                  f"retry of {name}")
+        if load_now >= load_threshold:
+            break  # box never drained; retries would certify nothing
+        prev_best, prev_runs, prev_load = timings[name], all_runs[name], loads[name]
+        run(name, fn)  # overwrites loads[name] with the retry-time load
+        loads[f"{name}:contaminated_first_pass"] = prev_load
+        timings[name] = min(prev_best, timings[name])
+        all_runs[name] = prev_runs + all_runs[name]
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs / timings["kg_pipeline_mv"], 1)
