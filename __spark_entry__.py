@@ -539,6 +539,17 @@ def q_cap_per_domain(spark, sf_dir):
     )
 
 
+def q_mask_repeated_spans(spark, sf_dir):
+    """Exact-substring span masking (Lee et al. dedup step): every
+    8-token window occurring >= 2 times corpus-wide is masked out of
+    all documents (cleaned text is the lowercase token rebuild). The
+    corpus' repeated prefixes make the gate certify real maskings."""
+    from weak_supervision_for_ner_spark.operators.dedup import mask_repeated_spans
+
+    return mask_repeated_spans(_t(spark, sf_dir, "documents"),
+                               span_tokens=8, min_count=2)
+
+
 def q_pack_shards(spark, sf_dir):
     """Training-shard sequence packing (concatenate-then-chop): docs
     in doc_id order are chopped into 2048-token shards; each doc gets
@@ -999,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "cap_per_domain": q_cap_per_domain,
         "pack_shards": q_pack_shards,
+        "mask_repeated_spans": q_mask_repeated_spans,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
         "form_frequencies": q_form_frequencies,
@@ -1571,6 +1583,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, COALESCE(n_hits, 0) AS n_hits,
                COALESCE(n_hits, 0) > 0 AS contaminated
         FROM documents LEFT JOIN hits USING (doc_id)
+    """
+
+    # string windows in the oracle vs xxhash64 windows in Spark (the
+    # decontaminate bound); EXISTS range probe mirrors the diff-array
+    sql["mask_repeated_spans"] = """
+        WITH dt AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> x <> '') AS toks
+            FROM documents),
+        dwin AS (
+            SELECT doc_id, i - 1 AS pos,
+                   array_to_string(list_slice(toks, i, i + 7), ' ') AS w
+            FROM dt, unnest(CASE WHEN len(toks) >= 8
+                                 THEN range(1, len(toks) - 6)
+                                 ELSE [] END) AS t(i)),
+        freq AS (SELECT w FROM (SELECT w, count(*) AS c FROM dwin GROUP BY 1)
+                 WHERE c >= 2),
+        flag AS (SELECT doc_id, pos FROM dwin JOIN freq USING (w)),
+        tok AS (SELECT doc_id, unnest(toks) AS tok,
+                       generate_subscripts(toks, 1) - 1 AS i
+                FROM dt),
+        m AS (
+            SELECT t.doc_id, t.i, t.tok,
+                   EXISTS (SELECT 1 FROM flag f WHERE f.doc_id = t.doc_id
+                           AND f.pos <= t.i AND t.i < f.pos + 8) AS msk
+            FROM tok t),
+        agg AS (
+            SELECT doc_id,
+                   COALESCE(string_agg(CASE WHEN NOT msk THEN tok END, ' '
+                                       ORDER BY i), '') AS cleaned,
+                   count(*) AS n_tokens,
+                   CAST(sum(CASE WHEN msk THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+            FROM m GROUP BY 1)
+        SELECT d.doc_id, COALESCE(a.cleaned, '') AS cleaned,
+               COALESCE(a.n_tokens, 0) AS n_tokens,
+               COALESCE(a.n_masked, 0) AS n_masked
+        FROM documents d LEFT JOIN agg a USING (doc_id)
     """
 
     # the oracle computes the SAME global chop with a plain ordered

@@ -1029,6 +1029,27 @@ def test_drop_boilerplate_lines(spark):
     assert got[5]["cleaned"] == "unique five" and got[5]["n_lines"] == 1
 
 
+def test_mask_repeated_spans(spark):
+    from weak_supervision_for_ner_spark.operators.dedup import mask_repeated_spans
+
+    rows = [
+        (1, "a b c d e"),        # shares 'a b c' with doc 2
+        (2, "x a b c y"),
+        (3, "p q r s t"),        # unique -> untouched
+        (4, "m m m m m m"),      # within-doc repeated window -> fully masked
+        (5, "sh ort"),           # shorter than the span -> untouched
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           mask_repeated_spans(docs, span_tokens=3, min_count=2).collect()}
+    assert got[1]["cleaned"] == "d e" and got[1]["n_masked"] == 3
+    assert got[2]["cleaned"] == "x y" and got[2]["n_masked"] == 3
+    assert got[3]["cleaned"] == "p q r s t" and got[3]["n_masked"] == 0
+    assert got[4]["cleaned"] == "" and got[4]["n_masked"] == 6
+    assert got[5]["cleaned"] == "sh ort" and got[5]["n_masked"] == 0
+    assert got[1]["n_tokens"] == 5
+
+
 def test_drop_boilerplate_collision_branch(spark):
     """Force the 64-bit-collision resolution path via the hash test
     seam (a real xxhash64 collision is unreachable): primary hash =

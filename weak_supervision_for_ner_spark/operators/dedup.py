@@ -545,6 +545,97 @@ def drop_near_duplicates(
     return collapsed.join(losers, "doc_id", "left_anti")
 
 
+def mask_repeated_spans(
+    documents: DataFrame, span_tokens: int = 8, min_count: int = 2,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring dedup at the span level (the Lee et al.
+    'Deduplicating Training Data' step, RefinedWeb's exact-substring
+    pass): mask every token covered by a ``span_tokens``-token window
+    whose text occurs >= ``min_count`` times ANYWHERE in the corpus
+    (including within one document). Returns (doc_id, cleaned,
+    n_tokens, n_masked) — cleaned is the surviving tokens re-joined
+    with single spaces, and the masked volume stays observable.
+
+    Divergence from the reference algorithm, by design: Lee et al.
+    keep ONE occurrence of each duplicated span; choosing the survivor
+    needs a global total order over occurrences, which costs an extra
+    corpus-wide sort for no measurable training benefit — large-scale
+    pipelines (RefinedWeb) drop all occurrences, as here.
+
+    Shape at 100 TB:
+    - windows travel as 8-byte xxhash64 values, never the n-token
+      strings (the decontaminate/boilerplate bound: a 64-bit collision
+      over-masks one window per ~2^64 pairs — the conservative
+      direction for dedup);
+    - the frequency filter is one partial-aggregated count per hash;
+      frequent-window hashes are usually corpus-small but NOT
+      guaranteed broadcastable, so the flag join is a plain equi-join
+      on the hash and AQE picks broadcast vs shuffle;
+    - the per-doc rewrite is one Arrow pass using a numpy diff-array
+      (O(n_tokens + n_flagged) per doc, no per-token python)."""
+    from typing import Iterator
+
+    toks_expr = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    base = documents.select(F.col(id_col), toks_expr.alias("toks"))
+    nwin = F.size("toks") - (span_tokens - 1)
+    wins = base.select(
+        id_col,
+        F.when(
+            nwin >= 1,
+            F.transform(
+                F.sequence(F.lit(1), nwin),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("toks", i, span_tokens))),
+            ),
+        ).otherwise(F.array().cast("array<bigint>")).alias("whs"),
+    ).select(id_col, F.posexplode("whs").alias("pos", "wh"))
+    frequent = (
+        wins.groupBy("wh").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("wh")
+    )
+    flagged = (
+        wins.join(frequent, "wh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("flagged"))
+    )
+    joined = base.join(flagged, id_col, "left")
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        documents.schema[id_col],
+        T.StructField("cleaned", T.StringType(), False),
+        T.StructField("n_tokens", T.LongType(), False),
+        T.StructField("n_masked", T.LongType(), False),
+    ])
+
+    def rewrite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, toks, flags in zip(pdf[id_col], pdf["toks"], pdf["flagged"]):
+                toks = list(toks)
+                n = len(toks)
+                if flags is None or not len(flags):
+                    rows.append((did, " ".join(toks), n, 0))
+                    continue
+                diff = np.zeros(n + 1, dtype=np.int64)
+                starts = np.asarray(flags, dtype=np.int64)
+                np.add.at(diff, starts, 1)
+                np.add.at(diff, np.minimum(starts + span_tokens, n), -1)
+                masked = np.cumsum(diff[:n]) > 0
+                kept = [t for t, m in zip(toks, masked) if not m]
+                rows.append((did, " ".join(kept), n, int(masked.sum())))
+            yield pd.DataFrame(rows, columns=[id_col, "cleaned", "n_tokens", "n_masked"])
+
+    return joined.mapInPandas(rewrite, schema=out_schema)
+
+
 def drop_boilerplate_lines(
     documents: DataFrame, min_docs: int = 2, text_col: str = "text",
     sep: str = "\n", id_col: str = "doc_id",
