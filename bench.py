@@ -221,22 +221,36 @@ def main() -> None:
     for name, fn in queries_to_run:
         run(name, fn)
 
-    # Contamination retry pass: the box's background load spikes
-    # mid-sweep (external to the bench — a sweep that STARTED idle has
-    # recorded per-query loads >17), and a loaded-box timing certifies
-    # nothing. Any query whose pre-run load exceeded the idle
-    # threshold gets ONE more best-of attempt after an idle wait; the
-    # kept value is the min, and the retry load lands in query_loads
-    # as "name:retry" so the artifact stays self-documenting.
+    # Contamination retry pass. The per-query 1-minute load conflates
+    # two causes: genuine external spikes (observed: load 17 on a
+    # sweep that started at 0.8) and the bench's OWN trailing decay
+    # after a heavy query — the detector cannot separate them, so a
+    # flagged query MAY have been fine. The retry is therefore
+    # min-keeping (a clean first pass loses nothing but the retry
+    # time) and empirically worthwhile: the r5 retried rows came back
+    # 30-50% faster (e.g. dedup_minhash 1.64->0.86s, ann_brute_jvm
+    # 6.9->4.56s), so the first passes were NOT merely trailing-load
+    # artifacts. The whole pass shares ONE wait budget (max_wait
+    # total, not per query) so a never-idle box cannot stall the
+    # bench; first-pass loads stay in the sidecar under
+    # "name:contaminated_first_pass" (the kept loads[name] is the
+    # retry-time load) and abandoned retries are recorded in
+    # "retry_aborted".
     contaminated = [
         (name, fn) for name, fn in queries_to_run
         if loads.get(name, 0.0) >= load_threshold
     ]
-    for name, fn in contaminated:
-        load_now = _wait_for_idle(load_threshold, max_wait, 10,
+    retry_aborted: list[str] = []
+    retry_budget = max_wait
+    for idx, (name, fn) in enumerate(contaminated):
+        t_wait = time.time()
+        load_now = _wait_for_idle(load_threshold, retry_budget, 10,
                                   f"retry of {name}")
+        retry_budget = max(0.0, retry_budget - (time.time() - t_wait))
         if load_now >= load_threshold:
-            break  # box never drained; retries would certify nothing
+            # box never drained; further retries would certify nothing
+            retry_aborted = [n for n, _ in contaminated[idx:]]
+            break
         prev_best, prev_runs, prev_load = timings[name], all_runs[name], loads[name]
         run(name, fn)  # overwrites loads[name] with the retry-time load
         loads[f"{name}:contaminated_first_pass"] = prev_load
@@ -259,6 +273,8 @@ def main() -> None:
     }
     if load_warning:
         out["load_warning"] = True
+    if retry_aborted:
+        out["retry_aborted"] = retry_aborted
 
     # Per-run / per-query-load detail goes to a SIDECAR file, not the
     # stdout JSON: round 4's artifact exceeded what the driver harness

@@ -981,6 +981,12 @@ def test_pack_shards(spark):
 
     with pytest.raises(ValueError, match="budget"):
         pack_shards(docs, budget=0)
+    # null text packs as a 0-token doc, not a NaN cumsum crash
+    nulls = spark.createDataFrame([(1, "a b"), (2, None), (3, "c")],
+                                  "doc_id long, text string")
+    gn = {r["doc_id"]: (r["n_tokens"], r["shard_offset"])
+          for r in pack_shards(nulls, budget=10).collect()}
+    assert gn[2] == (0, 2) and gn[3] == (1, 2)
     # plan audit: ONE range shuffle of the narrow projection, and no
     # global ordered window (the single-partition scalability trap)
     plan = pack_shards(docs, budget=10)._jdf.queryExecution().executedPlan().toString()
@@ -1048,6 +1054,11 @@ def test_mask_repeated_spans(spark):
     assert got[4]["cleaned"] == "" and got[4]["n_masked"] == 6
     assert got[5]["cleaned"] == "sh ort" and got[5]["n_masked"] == 0
     assert got[1]["n_tokens"] == 5
+    # null text = empty doc, not an Arrow crash (r5 review)
+    nulls = spark.createDataFrame([(9, None), (10, "ok here")],
+                                  "doc_id long, text string")
+    gn = {r["doc_id"]: r for r in mask_repeated_spans(nulls, 3).collect()}
+    assert gn[9]["cleaned"] == "" and gn[9]["n_tokens"] == 0
 
 
 def test_drop_boilerplate_collision_branch(spark):

@@ -576,21 +576,21 @@ def mask_repeated_spans(
       (O(n_tokens + n_flagged) per doc, no per-token python)."""
     from typing import Iterator
 
-    toks_expr = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-        lambda x: x != F.lit(""),
+    from weak_supervision_for_ner_spark.operators.textstats import (
+        filtered_tokens,
+        hashed_token_windows,
     )
-    base = documents.select(F.col(id_col), toks_expr.alias("toks"))
-    nwin = F.size("toks") - (span_tokens - 1)
+
+    base = documents.select(
+        F.col(id_col),
+        # null text = empty doc (the Arrow rewrite would crash on a
+        # None token array; the oracle agrees via its own list_filter)
+        filtered_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"),
+    )
     wins = base.select(
         id_col,
-        F.when(
-            nwin >= 1,
-            F.transform(
-                F.sequence(F.lit(1), nwin),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("toks", i, span_tokens))),
-            ),
-        ).otherwise(F.array().cast("array<bigint>")).alias("whs"),
+        hashed_token_windows(F.col("toks"), span_tokens,
+                             short_doc="none").alias("whs"),
     ).select(id_col, F.posexplode("whs").alias("pos", "wh"))
     frequent = (
         wins.groupBy("wh").agg(F.count(F.lit(1)).alias("c"))

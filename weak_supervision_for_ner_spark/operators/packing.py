@@ -47,12 +47,14 @@ def pack_shards(
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     if token_count_col is None:
-        toks = F.split(F.trim(F.col(text_col)), r"\s+")
-        ntok = F.when(
-            F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
-        ).otherwise(F.size(toks)).cast("long")
+        # the SHARED whitespace-count expression (null text -> 0) so
+        # shard layout and reported token counts cannot drift
+        from weak_supervision_for_ner_spark.operators.textstats import ws_token_count
+
+        ntok = ws_token_count(text_col)
     else:
-        ntok = F.col(token_count_col).cast("long")
+        # null counts crash the Arrow cumsum as NaN; treat as 0 tokens
+        ntok = F.coalesce(F.col(token_count_col).cast("long"), F.lit(0))
 
     spark = documents.sparkSession
     narrow = documents.select(F.col(id_col), ntok.alias("n_tokens"))
@@ -94,14 +96,17 @@ def pack_shards(
     for pid in sorted(totals):
         offsets[pid] = acc
         acc += totals[pid]
-    offmap = F.create_map(
-        *[x for pid, off in sorted(offsets.items())
-          for x in (F.lit(pid), F.lit(off))]
-    ) if offsets else F.create_map()
+    # broadcast equi-join on pid, NOT element_at over a literal map:
+    # GetMapValue on a CreateMap scans its keys linearly per row —
+    # O(partitions) comparisons per row at thousands of range
+    # partitions (r5 review); the broadcast hash probe is O(1)
+    off_df = F.broadcast(spark.createDataFrame(
+        sorted(offsets.items()) or [(0, 0)], "pid int, p_offset long"
+    ))
     # integer DIV, not float division: a double round-trip loses
     # precision above 2^53 cumulative tokens (well inside 100 TB range)
-    return local.withColumn(
-        "gstart", F.col("local_start") + F.element_at(offmap, F.col("pid"))
+    return local.join(off_df, "pid").withColumn(
+        "gstart", F.col("local_start") + F.col("p_offset")
     ).select(
         F.col(id_col),
         F.col("n_tokens"),

@@ -73,14 +73,23 @@ def quality_scores(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("quality", F.round(score, 2))
 
 
+def ws_token_count(text_col: str):
+    """THE whitespace token-count expression (null text counts 0, like
+    empty) — the single definition shared by token_counts and
+    pack_shards so the tokenization contract cannot drift between the
+    reported counts and the shard layout."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    return F.when(
+        F.length(F.trim(txt)) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(txt), r"\s+"))).cast("long")
+
+
 def token_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace tokens plus a BPE-ish subword estimate
     (ceil(chars/4) is the classic approximation)."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    ws = F.when(F.length(F.trim(F.col(text_col))) == 0, 0).otherwise(F.size(toks))
     return documents.select(
         "doc_id",
-        ws.cast("long").alias("ws_tokens"),
+        ws_token_count(text_col).alias("ws_tokens"),
         F.ceil(F.length(text_col) / F.lit(4.0)).cast("long").alias("bpe_estimate"),
     )
 
@@ -159,6 +168,43 @@ def repetition_signals(documents: DataFrame, text_col: str = "text") -> DataFram
     ).drop("_n_2grams")
 
 
+def filtered_tokens(col):
+    """Empty-filtered lowercase whitespace tokens — the canonical
+    tokenization for the n-gram window operators (an empty/whitespace
+    text yields an EMPTY array, never [''])."""
+    return F.filter(
+        F.split(F.lower(F.trim(col)), r"\s+"), lambda x: x != F.lit("")
+    )
+
+
+def hashed_token_windows(toks_col, n: int, short_doc: str = "none"):
+    """xxhash64 over every ``n``-token window of a token-array column,
+    as an array<bigint> — THE shared window machinery of decontaminate
+    and mask_repeated_spans (one definition of the collision-bound
+    idiom, so fixes propagate). ``short_doc``: what texts with 1..n-1
+    tokens contribute — "full" (their whole sequence as one window;
+    decontaminate's containment rule) or "none" (no windows;
+    span masking has nothing to mask below the span length). Empty
+    token arrays always contribute nothing. sequence(1, 0) is
+    DESCENDING in Spark, hence the explicit branch structure."""
+    nwin = F.size(toks_col) - (n - 1)
+    out = F.when(
+        nwin >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks_col, i, n))),
+        ),
+    )
+    if short_doc == "full":
+        out = out.when(
+            F.size(toks_col) > 0,
+            F.array(F.xxhash64(F.concat_ws(" ", toks_col))),
+        )
+    elif short_doc != "none":
+        raise ValueError(f"short_doc must be 'full' or 'none', got {short_doc!r}")
+    return out.otherwise(F.array().cast("array<bigint>"))
+
+
 def decontaminate(
     documents: DataFrame, probes: DataFrame, n: int = 8,
     text_col: str = "text", probe_text_col: str = "text",
@@ -184,25 +230,11 @@ def decontaminate(
     Empty/whitespace-only texts contribute no windows at all."""
 
     def windows(col):
-        # drop empty tokens so an empty/whitespace-only text yields NO
-        # windows — otherwise every blank probe row (common in
-        # benchmark dumps) would hash to the ''-window and flag every
-        # blank document as contaminated (r5 review)
-        toks = F.filter(
-            F.split(F.lower(F.trim(col)), r"\s+"), lambda x: x != F.lit("")
-        )
-        nwin = F.size(toks) - (n - 1)
-        # sequence(1, 0) is DESCENDING in Spark: docs shorter than n
-        # take the explicit full-sequence branch instead
-        return F.when(
-            nwin >= 1,
-            F.transform(
-                F.sequence(F.lit(1), nwin),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
-            ),
-        ).when(
-            F.size(toks) > 0, F.array(F.xxhash64(F.concat_ws(" ", toks)))
-        ).otherwise(F.array().cast("array<bigint>"))
+        # short_doc="full": a sub-n probe/doc contributes its whole
+        # token sequence; empty/whitespace-only texts contribute NO
+        # windows (blank probe rows would otherwise flag every blank
+        # document via the ''-window hash — r5 review)
+        return hashed_token_windows(filtered_tokens(col), n, short_doc="full")
 
     probe_grams = (
         probes.select(F.explode(windows(F.col(probe_text_col))).alias("gh"))
