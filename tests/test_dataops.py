@@ -540,7 +540,8 @@ def _png_bytes(arr, ctype, depth=8, filters=None, plte=None, interlace=0):
     """Minimal PNG writer (tests only): arr holds SAMPLES per pixel —
     (h,w) gray/palette-index or (h,w,ch). ``filters`` picks the filter
     type per scanline (cycling), so decode exercises Sub/Up/Avg/Paeth
-    against an independently-computed filtered stream."""
+    against an independently-computed filtered stream. ``interlace=1``
+    writes a REAL Adam7 stream (seven independently-filtered passes)."""
     import struct
     import zlib
 
@@ -548,44 +549,61 @@ def _png_bytes(arr, ctype, depth=8, filters=None, plte=None, interlace=0):
 
     h, w = arr.shape[:2]
     ch = 1 if arr.ndim == 2 else arr.shape[2]
-    flat = arr.reshape(h, w * ch)
-    if depth == 16:
-        rows = flat.astype(">u2").view(np.uint8).reshape(h, -1)
-    elif depth == 8:
-        rows = flat.astype(np.uint8)
-    else:  # pack depth-bit samples MSB-first
-        bits = ((flat[:, :, None].astype(np.uint8) >>
-                 np.arange(depth - 1, -1, -1)) & 1).reshape(h, -1)
-        pad = (-bits.shape[1]) % 8
-        bits = np.pad(bits, ((0, 0), (0, pad)))
-        rows = np.packbits(bits, axis=1)
     fbpp = max(1, (depth // 8) * ch)
     filters = filters or [0]
-    out = []
-    prev = np.zeros(rows.shape[1], dtype=np.int32)
-    for y in range(h):
-        f = filters[y % len(filters)]
-        cur = rows[y].astype(np.int32)
-        filt = np.empty_like(cur)
-        for i in range(len(cur)):
-            a = cur[i - fbpp] if i >= fbpp else 0
-            b = prev[i]
-            c = prev[i - fbpp] if i >= fbpp else 0
-            if f == 0:
-                pred = 0
-            elif f == 1:
-                pred = a
-            elif f == 2:
-                pred = b
-            elif f == 3:
-                pred = (a + b) >> 1
-            else:
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-            filt[i] = (cur[i] - pred) & 0xFF
-        out.append(bytes([f]) + filt.astype(np.uint8).tobytes())
-        prev = cur
+
+    def pack_rows(sub):
+        sh, sw = sub.shape[:2]
+        flat = sub.reshape(sh, sw * ch)
+        if depth == 16:
+            return flat.astype(">u2").view(np.uint8).reshape(sh, -1)
+        if depth == 8:
+            return flat.astype(np.uint8)
+        bits = ((flat[:, :, None].astype(np.uint8) >>
+                 np.arange(depth - 1, -1, -1)) & 1).reshape(sh, -1)
+        pad = (-bits.shape[1]) % 8
+        bits = np.pad(bits, ((0, 0), (0, pad)))
+        return np.packbits(bits, axis=1)
+
+    def filter_rows(rows):
+        out = []
+        prev = np.zeros(rows.shape[1], dtype=np.int32)
+        for y in range(rows.shape[0]):
+            f = filters[y % len(filters)]
+            cur = rows[y].astype(np.int32)
+            filt = np.empty_like(cur)
+            for i in range(len(cur)):
+                a = cur[i - fbpp] if i >= fbpp else 0
+                b = prev[i]
+                c = prev[i - fbpp] if i >= fbpp else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[i] = (cur[i] - pred) & 0xFF
+            out.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+            prev = cur
+        return b"".join(out)
+
+    a3 = arr if arr.ndim == 3 else arr[:, :, None]
+    if interlace == 0:
+        stream = filter_rows(pack_rows(a3))
+    else:
+        passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        stream = b"".join(
+            filter_rows(pack_rows(a3[y0::ys, x0::xs]))
+            for (x0, y0, xs, ys) in passes
+            if a3[y0::ys, x0::xs].shape[0] and a3[y0::ys, x0::xs].shape[1]
+        )
 
     def chunk(typ, body):
         return (struct.pack(">I", len(body)) + typ + body +
@@ -595,7 +613,7 @@ def _png_bytes(arr, ctype, depth=8, filters=None, plte=None, interlace=0):
     png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if plte is not None:
         png += chunk(b"PLTE", np.asarray(plte, np.uint8).tobytes())
-    png += chunk(b"IDAT", zlib.compress(b"".join(out)))
+    png += chunk(b"IDAT", zlib.compress(stream))
     return png + chunk(b"IEND", b"")
 
 
@@ -640,7 +658,32 @@ def test_png_decoder_all_filters_and_color_types():
                        g1.astype(np.float32), atol=1e-6)
 
 
-def test_png_decoder_rejects_corruption_and_interlace():
+def test_png_decoder_adam7_interlaced():
+    """Adam7 across color types, depths, filters and odd dimensions
+    (odd sizes give empty/degenerate passes)."""
+    import numpy as np
+
+    from weak_supervision_for_ner_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(17)
+    filters = [0, 1, 2, 3, 4]
+    for shape, ctype, depth in (
+        ((13, 11), 0, 8),        # gray, odd dims
+        ((16, 16, 3), 2, 8),     # RGB
+        ((9, 5), 0, 16),         # 16-bit gray
+        ((7, 3, 4), 6, 8),       # RGBA, tiny
+        ((1, 1), 0, 8),          # single pixel (passes 1 only)
+        ((6, 10), 0, 1),         # 1-bit gray
+    ):
+        hi = 2 if depth == 1 else (65536 if depth == 16 else 256)
+        arr = rng.integers(0, hi, shape, dtype=np.uint32)
+        want_src = arr if arr.ndim == 2 else arr[:, :, :3].astype(np.float32).mean(axis=2)
+        want = want_src / float((1 << depth) - 1)
+        got = decode_png(_png_bytes(arr, ctype, depth, filters, interlace=1))
+        assert np.allclose(got, want, atol=1e-6), (shape, ctype, depth)
+
+
+def test_png_decoder_rejects_corruption():
     import numpy as np
     import pytest
 
@@ -652,8 +695,6 @@ def test_png_decoder_rejects_corruption_and_interlace():
     bad[40] ^= 0xFF                       # flip an IDAT byte -> CRC fails
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(bad))
-    with pytest.raises(NotImplementedError, match="Adam7"):
-        decode_png(_png_bytes(img, 0, 8, interlace=1))
     with pytest.raises(ValueError):
         decode_png(b"not a png at all")
 

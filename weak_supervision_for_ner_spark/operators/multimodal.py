@@ -129,58 +129,25 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """REAL compressed-image decode, pure stdlib zlib + numpy: PNG →
-    2-D float32 luma in [0, 1] (the shape resize_images consumes, same
-    convention as decode_ppm: RGB channels averaged, alpha ignored).
+# Adam7 pass layout: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Covers the full non-interlaced format: bit depths 1/2/4/8/16,
-    color types gray / RGB / palette / gray+alpha / RGBA, all five
-    scanline filters (None/Sub/Up/Average/Paeth), chunk CRCs verified.
-    Adam7 interlacing raises NotImplementedError (register a codec for
-    those). This closes the image modality for real — PNG is the one
-    ubiquitous compressed format decodable with nothing but zlib."""
-    import zlib
 
-    if payload[:8] != _PNG_MAGIC:
-        raise ValueError("not a PNG payload")
-    pos, hdr, plte, idat = 8, None, None, []
-    while pos + 12 <= len(payload):
-        ln = int.from_bytes(payload[pos:pos + 4], "big")
-        typ = payload[pos + 4:pos + 8]
-        body = payload[pos + 8:pos + 8 + ln]
-        crc = int.from_bytes(payload[pos + 8 + ln:pos + 12 + ln], "big")
-        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
-        if typ == b"IHDR":
-            hdr = (
-                int.from_bytes(body[0:4], "big"), int.from_bytes(body[4:8], "big"),
-                body[8], body[9], body[12],
-            )
-        elif typ == b"PLTE":
-            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
-        elif typ == b"IDAT":
-            idat.append(body)
-        elif typ == b"IEND":
-            break
-        pos += 12 + ln
-    if hdr is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    w, h, depth, ctype, interlace = hdr
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG needs a registered codec")
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
-    stride = (w * channels * depth + 7) // 8
-    fbpp = max(1, (depth // 8) * channels)  # filter byte distance
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) < h * (stride + 1):
+def _unfilter_scanlines(raw: bytes, offset: int, h: int, stride: int,
+                        fbpp: int) -> tuple["np.ndarray", int]:
+    """Undo the five PNG scanline filters over ``h`` rows of
+    ``stride`` raster bytes starting at ``offset`` (each row is
+    prefixed by its filter-type byte). Returns (rows, bytes_consumed)
+    — shared by the sequential and per-Adam7-pass paths."""
+    if len(raw) - offset < h * (stride + 1):
         raise ValueError("PNG IDAT truncated")
-
-    # unfilter scanlines (filters operate on raw bytes, depth-agnostic)
     prev = np.zeros(stride, dtype=np.uint8)
     rows = np.empty((h, stride), dtype=np.uint8)
     for y in range(h):
-        off = y * (stride + 1)
+        off = offset + y * (stride + 1)
         ftype = raw[off]
         line = np.frombuffer(raw, np.uint8, stride, off + 1).copy()
         if ftype == 0:
@@ -208,20 +175,90 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter type {ftype}")
         rows[y] = line
         prev = rows[y]
+    return rows, h * (stride + 1)
 
-    # samples -> (h, w, channels) float in [0, 1]
-    maxval = float((1 << depth) - 1)
+
+def _samples_from_rows(rows: "np.ndarray", h: int, w: int, channels: int,
+                       depth: int) -> "np.ndarray":
+    """Unfiltered raster rows -> (h, w, channels) float32 RAW sample
+    values (big-endian 16-bit words; MSB-first sub-byte unpacking)."""
     if depth == 16:
-        samples = rows.reshape(-1).view(">u2").reshape(h, stride // 2)
-        px = samples[:, : w * channels].reshape(h, w, channels).astype(np.float32)
-    elif depth == 8:
-        px = rows[:, : w * channels].reshape(h, w, channels).astype(np.float32)
-    else:  # 1/2/4-bit gray or palette: unpack bits per scanline
-        bits = np.unpackbits(rows, axis=1)
-        vals = bits.reshape(h, -1, depth)
-        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
-        packed = (vals * weights).sum(axis=2)
-        px = packed[:, : w * channels].reshape(h, w, channels).astype(np.float32)
+        samples = rows.reshape(-1).view(">u2").reshape(h, -1)
+        return samples[:, : w * channels].reshape(h, w, channels).astype(np.float32)
+    if depth == 8:
+        return rows[:, : w * channels].reshape(h, w, channels).astype(np.float32)
+    bits = np.unpackbits(rows, axis=1)
+    vals = bits.reshape(h, -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    packed = (vals * weights).sum(axis=2)
+    return packed[:, : w * channels].reshape(h, w, channels).astype(np.float32)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL compressed-image decode, pure stdlib zlib + numpy: PNG →
+    2-D float32 luma in [0, 1] (the shape resize_images consumes, same
+    convention as decode_ppm: RGB channels averaged, alpha ignored).
+
+    Covers the FULL format: bit depths 1/2/4/8/16, color types gray /
+    RGB / palette / gray+alpha / RGBA, all five scanline filters
+    (None/Sub/Up/Average/Paeth), both interlace modes (sequential and
+    Adam7 — each of the seven passes is unfiltered as its own
+    sub-image and scattered into the grid), chunk CRCs verified. This
+    closes the image modality for real — PNG is the one ubiquitous
+    compressed format decodable with nothing but zlib."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, hdr, plte, idat = 8, None, None, []
+    while pos + 12 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        crc = int.from_bytes(payload[pos + 8 + ln:pos + 12 + ln], "big")
+        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            hdr = (
+                int.from_bytes(body[0:4], "big"), int.from_bytes(body[4:8], "big"),
+                body[8], body[9], body[12],
+            )
+        elif typ == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if hdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, interlace = hdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    fbpp = max(1, (depth // 8) * channels)  # filter byte distance
+    raw = zlib.decompress(b"".join(idat))
+
+    if interlace == 0:
+        stride = (w * channels * depth + 7) // 8
+        rows, _ = _unfilter_scanlines(raw, 0, h, stride, fbpp)
+        px = _samples_from_rows(rows, h, w, channels, depth)
+    elif interlace == 1:
+        # Adam7: seven independently-filtered sub-images, scattered
+        # back onto the (y_start::y_step, x_start::x_step) grids
+        px = np.zeros((h, w, channels), dtype=np.float32)
+        offset = 0
+        for (x0, y0, xs, ys) in _ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = (pw * channels * depth + 7) // 8
+            rows, used = _unfilter_scanlines(raw, offset, ph, pstride, fbpp)
+            offset += used
+            px[y0::ys, x0::xs] = _samples_from_rows(rows, ph, pw, channels, depth)
+    else:
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+
+    maxval = float((1 << depth) - 1)
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
