@@ -541,9 +541,10 @@ def q_cap_per_domain(spark, sf_dir):
 
 def q_mask_repeated_spans(spark, sf_dir):
     """Exact-substring span masking (Lee et al. dedup step): every
-    8-token window occurring >= 2 times corpus-wide is masked out of
-    all documents (cleaned text is the lowercase token rebuild). The
-    corpus' repeated prefixes make the gate certify real maskings."""
+    8-token window occurring >= 2 times corpus-wide (matched
+    case-insensitively) is masked out of all documents; cleaned text
+    is rebuilt from the ORIGINAL-case tokens. The corpus' repeated
+    prefixes make the gate certify real maskings."""
     from weak_supervision_for_ner_spark.operators.dedup import mask_repeated_spans
 
     return mask_repeated_spans(_t(spark, sf_dir, "documents"),
@@ -1590,12 +1591,12 @@ def oracle_sql() -> dict[str, str]:
     sql["mask_repeated_spans"] = """
         WITH dt AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                   list_filter(string_split_regex(trim(text), '\\s+'),
                                x -> x <> '') AS toks
             FROM documents),
         dwin AS (
             SELECT doc_id, i - 1 AS pos,
-                   array_to_string(list_slice(toks, i, i + 7), ' ') AS w
+                   lower(array_to_string(list_slice(toks, i, i + 7), ' ')) AS w
             FROM dt, unnest(CASE WHEN len(toks) >= 8
                                  THEN range(1, len(toks) - 6)
                                  ELSE [] END) AS t(i)),

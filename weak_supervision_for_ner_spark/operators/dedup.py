@@ -563,6 +563,18 @@ def mask_repeated_spans(
     corpus-wide sort for no measurable training benefit — large-scale
     pipelines (RefinedWeb) drop all occurrences, as here.
 
+    NORMALIZATION CONTRACT: window matching is case-insensitive (the
+    hash input is lowercased), but ``cleaned`` is rebuilt from the
+    ORIGINAL-case tokens — the split/filter rule is identical for both
+    token streams, so positions line up exactly and casing survives
+    (r5 advice: a dedup pass must not rewrite the corpus's casing).
+    Whitespace IS still normalized: runs of whitespace (including
+    newlines) collapse to single spaces in ``cleaned``, because tokens
+    re-join with " ". Callers needing byte-level structure should
+    treat ``cleaned`` as a token sequence, not a layout-preserving
+    document; Lee et al. operate on original bytes, which would need
+    per-token source offsets — deliberately not paid here.
+
     Shape at 100 TB:
     - windows travel as 8-byte xxhash64 values, never the n-token
       strings (the decontaminate/boilerplate bound: a 64-bit collision
@@ -577,19 +589,26 @@ def mask_repeated_spans(
     from typing import Iterator
 
     from weak_supervision_for_ner_spark.operators.textstats import (
-        filtered_tokens,
         hashed_token_windows,
     )
 
+    # null text = empty doc (the Arrow rewrite would crash on a None
+    # token array; the oracle agrees via its own list_filter). Tokens
+    # keep their ORIGINAL case for the rebuild; the window hashes are
+    # computed over a lowercased view of the same array — the
+    # split/trim/filter rule is shared, so positions are identical
+    # (lowercasing cannot create or destroy \s+ boundaries).
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     base = documents.select(
         F.col(id_col),
-        # null text = empty doc (the Arrow rewrite would crash on a
-        # None token array; the oracle agrees via its own list_filter)
-        filtered_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"),
+        F.filter(
+            F.split(F.trim(txt), r"\s+"), lambda x: x != F.lit("")
+        ).alias("toks"),
     )
+    lower_toks = F.transform(F.col("toks"), F.lower)
     wins = base.select(
         id_col,
-        hashed_token_windows(F.col("toks"), span_tokens,
+        hashed_token_windows(lower_toks, span_tokens,
                              short_doc="none").alias("whs"),
     ).select(id_col, F.posexplode("whs").alias("pos", "wh"))
     frequent = (
@@ -672,17 +691,22 @@ def drop_boilerplate_lines(
     groups take an exact raw-line recount + raw-line anti-join —
     observable, never silently wrong.
 
-    EXECUTION NOTE: the collision probe runs ONE eager Spark job at
-    call time (corpus scan + the hash-keyed frequency aggregation into
-    the small persisted ``flagged`` table); the returned DataFrame's
-    own execution then reuses that cache, so the aggregation is paid
-    exactly once overall — but callers that only build the plan still
-    pay it, and the cache follows the canonicalize_triples contract
-    (released by the session's cache clear, e.g. the pipeline CLI's
-    ``clearCache``). ``_hash_exprs`` is a TEST SEAM: a (primary,
-    secondary) pair of column functions replacing the two xxhash64s so
-    the collision-resolution branch — unreachable without a real
-    64-bit collision — can be forced and asserted
+    EXECUTION NOTE (r5 advice: the previous form ran an eager
+    collision-probe job at plan-construction time and left a persisted
+    table behind): the operator is now FULLY LAZY — the collision-
+    resolution joins are always planned, with the suspect-hash side
+    broadcast-hinted. At runtime the broadcast stage of the suspect
+    set materializes first; when it is empty (every non-adversarial
+    corpus: two distinct lines must agree on two independent 64-bit
+    hashes), AQE's empty-relation propagation collapses the resolution
+    semi-join, its aggregation and the final raw-line anti-join to a
+    passthrough before their probe-side scans run — so the common case
+    pays zero extra stages, no eager job, and leaves no cache. The
+    duplicated frequency-agg subtree is deduplicated by exchange reuse
+    (asserted by the plan test). ``_hash_exprs`` is a TEST SEAM: a
+    (primary, secondary) pair of column functions replacing the two
+    xxhash64s so the collision-resolution branch — unreachable without
+    a real 64-bit collision — can be forced and asserted
     (tests/test_dataops.py::test_drop_boilerplate_collision_branch)."""
     h1, h2 = _hash_exprs or (
         lambda c: F.xxhash64(c),
@@ -695,12 +719,11 @@ def drop_boilerplate_lines(
         .filter(F.length(F.trim("line")) > 0)
         .withColumn("lh", h1(F.col("line")))
     )
-    # One frequency pass keyed by the hash; the output is filtered to
-    # frequent-or-collided groups BEFORE materializing, so the persisted
-    # table is heavy-hitters-small and feeds the anti-join broadcast.
-    # (The persist is released by the caller's session cache clear, the
-    # same contract as canonicalize_triples' linked cache.)
-    flagged = (
+    # One frequency pass keyed by the hash; the agg output is filtered
+    # to frequent-or-collided groups. The subtree feeds BOTH the
+    # common-case anti-join key set and the collision suspect set; its
+    # shuffle is planned twice but executed once (exchange reuse).
+    freq = (
         lines.withColumn("lh2", h2(F.col("line")))
         .groupBy("lh")
         .agg(
@@ -709,28 +732,30 @@ def drop_boilerplate_lines(
             F.max("lh2").alias("v_max"),
         )
         .filter((F.col("nd") >= min_docs) | (F.col("v_min") != F.col("v_max")))
-        .persist()
     )
     common_h = (
-        flagged.filter((F.col("nd") >= min_docs) & (F.col("v_min") == F.col("v_max")))
+        freq.filter((F.col("nd") >= min_docs) & (F.col("v_min") == F.col("v_max")))
         .select("lh")
     )
     kept = lines.join(common_h, "lh", "left_anti")
     # 64-bit collision groups: detected by the independent second hash
-    # and resolved EXACTLY on the raw line — but the resolution joins
-    # are only planned when a collision actually exists (a cheap probe
-    # on the small cached table), so the common case pays zero extra
-    # stages for the guarantee.
-    if flagged.filter(F.col("v_min") != F.col("v_max")).limit(1).count() > 0:
-        suspect_h = flagged.filter(F.col("v_min") != F.col("v_max")).select("lh")
-        common_suspect = (
-            lines.join(F.broadcast(suspect_h), "lh", "left_semi")
-            .groupBy("line")
-            .agg(F.count_distinct(id_col).alias("nd"))
-            .filter(F.col("nd") >= min_docs)
-            .select("line")
-        )
-        kept = kept.join(F.broadcast(common_suspect), "line", "left_anti")
+    # and resolved EXACTLY on the raw line. The branch is always
+    # planned (laziness — no eager probe job) but broadcast-hinted: in
+    # the no-collision common case the suspect broadcast materializes
+    # EMPTY and AQE's empty-relation propagation eliminates the semi-
+    # join, the raw-line recount and this anti-join before their
+    # probe scans run. Collisions are heavy-hitters-bounded when they
+    # do occur, so the broadcast hint is safe in the branch's only
+    # reachable regime.
+    suspect_h = freq.filter(F.col("v_min") != F.col("v_max")).select("lh")
+    common_suspect = (
+        lines.join(F.broadcast(suspect_h), "lh", "left_semi")
+        .groupBy("line")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("line")
+    )
+    kept = kept.join(F.broadcast(common_suspect), "line", "left_anti")
     reassembled = (
         kept.groupBy(id_col)
         .agg(

