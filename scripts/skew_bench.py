@@ -114,6 +114,36 @@ print(json.dumps({"variant": variant, "sec": round(dt, 3), "survivors": n}))
 """
 
 
+CAP_JOB = r"""
+import sys, time, json
+from pyspark.sql import functions as F
+from weak_supervision_for_ner_spark.config import get_spark
+from weak_supervision_for_ner_spark.operators.textstats import cap_per_domain
+
+cores, n_docs, variant = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+spark = get_spark(f"skew-cap-{variant}", cores=cores, shuffle_partitions=cores)
+spark.range(1000).selectExpr("sum(id)").collect()
+n_salts = 1 if variant == "single" else 16
+# hot-domain corpus: HALF of all rows belong to ONE domain (the input
+# cap_per_domain exists for), the rest spread over n_docs/200 domains.
+# Same input for both variants - this is a plan A/B (unsalted
+# single-window vs salted two-level top-k), not a placement A/B.
+docs = spark.range(n_docs).select(
+    F.col("id").alias("doc_id"),
+    F.when(F.col("id") % 2 == 0, F.lit("hot.example.com"))
+     .otherwise(F.concat(F.lit("d"), F.pmod(F.col("id"), F.lit(n_docs // 200))))
+     .alias("source"),
+    F.pmod(F.xxhash64(F.col("id")), F.lit(100000)).cast("int").alias("n_chars"),
+).persist()
+docs.count()
+cap_per_domain(docs.limit(2000), k=100, n_salts=n_salts).count()  # warm
+t0 = time.time()
+n = cap_per_domain(docs, k=100, n_salts=n_salts).count()
+dt = time.time() - t0
+print(json.dumps({"variant": variant, "sec": round(dt, 3), "survivors": n}))
+"""
+
+
 def run(job: str, cores: int, n_docs: int, variant: str) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", job, str(cores), str(n_docs), variant],
@@ -151,6 +181,20 @@ def main() -> None:
                          "baseline": uni, "skewed": skw, "skew_ratio": ratio}
         print(f"# {name}: {base_variant} {uni['sec']}s vs skewed {skw['sec']}s "
               f"-> ratio {ratio}", file=sys.stderr)
+    # cap_per_domain (r5 verdict item #5): same mega-domain input, plan
+    # A/B — the salted two-level top-k vs the unsalted single window
+    # that funnels the hot domain through one task. Outputs must agree.
+    n_cap = int(os.environ.get("SPARK_GRAFT_SKEW_CAP_DOCS", "4000000"))
+    single = run(CAP_JOB, cores, n_cap, "single")
+    salted = run(CAP_JOB, cores, n_cap, "salted")
+    assert single["survivors"] == salted["survivors"], (single, salted)
+    cap_ratio = round(single["sec"] / salted["sec"], 3)
+    results["cap_per_domain"] = {
+        "n_docs": n_cap, "single_window": single, "salted": salted,
+        "single_over_salted": cap_ratio,
+    }
+    print(f"# cap_per_domain: single-window {single['sec']}s vs salted "
+          f"{salted['sec']}s -> single/salted {cap_ratio}", file=sys.stderr)
     print(json.dumps({"metric": "skew_stress", **results}))
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "BENCH_SCALING.md"), "a") as fd:
@@ -165,6 +209,13 @@ def main() -> None:
             f"| dedup_drop_near | {dd['n_docs']} | {dd['baseline_variant']} "
             f"{dd['baseline']['sec']}s "
             f"| {dd['skewed']['sec']}s | {dd['skew_ratio']} |\n"
+        )
+        cp = results["cap_per_domain"]
+        fd.write(
+            f"| cap_per_domain (plan A/B, 50% one domain) | {cp['n_docs']} "
+            f"| salted {cp['salted']['sec']}s "
+            f"| single-window {cp['single_window']['sec']}s "
+            f"| single/salted {cp['single_over_salted']} |\n"
         )
 
 

@@ -1090,21 +1090,32 @@ def test_pack_shards_releases_cache(spark):
     def census():
         return spark.sparkContext._jsc.getPersistentRDDs().size()
 
+    def settle(target, timeout=30.0):
+        # the ContextCleaner is asynchronous (python gc -> py4j
+        # finalizers -> JVM gc -> cleaner queue): poke and poll
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            if census() <= target:
+                return True
+            time.sleep(0.5)
+        return census() <= target
+
     docs = spark.createDataFrame([(i, "w " * 5) for i in range(50)],
                                  "doc_id long, text string")
+    result = pack_shards(docs, budget=10)
+    assert result.count() == 50
+    del result
+    settle(census())             # flush any strays, then take the base
     base = census()
-    for _ in range(3):
+    for _ in range(4):
         result = pack_shards(docs, budget=10)
         assert result.count() == 50
     del result
-    # the cleaner is asynchronous: poke GC and poll briefly
-    for _ in range(20):
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        if census() <= base:
-            break
-        time.sleep(0.5)
-    assert census() <= base
+    # the old persist() leaked one cached RDD per call (base + 4 here);
+    # allow one in-flight entry for cleaner lag
+    assert settle(base + 1), (census(), base)
 
 
 def test_cap_per_domain(spark):
@@ -1269,3 +1280,293 @@ def test_drop_boilerplate_plan_partial_agg_no_cartesian(spark):
     # not raw line strings (an order-of-magnitude shuffle-byte cut on
     # long lines at 100 TB)
     assert "hashpartitioning(lh#" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# JPEG: independent baseline encoder (tests only) + decoder properties.
+# The writer shares NOTHING with functions/jpeg.py: its own zigzag walk
+# (diagonal construction), its own direct-cosine DCT, additive quant
+# tables and simple fixed-length canonical huffman tables emitted via
+# DHT — so a shared-constant bug cannot cancel out in the round-trip.
+# ---------------------------------------------------------------------------
+
+def _jpeg_zigzag():
+    order = []
+    for d in range(15):
+        cells = [(j, d - j) for j in range(d + 1) if j < 8 and d - j < 8]
+        if d % 2 == 0:
+            cells = cells[::-1]
+        order += cells
+    return order
+
+
+def _jpeg_dct2(block):
+    import numpy as np
+
+    xs = np.arange(8)
+    out = np.zeros((8, 8))
+    for u in range(8):
+        cu = 1 / np.sqrt(2) if u == 0 else 1.0
+        cu_cos = np.cos((2 * xs + 1) * u * np.pi / 16)
+        for v in range(8):
+            cv = 1 / np.sqrt(2) if v == 0 else 1.0
+            cv_cos = np.cos((2 * xs + 1) * v * np.pi / 16)
+            out[u, v] = 0.25 * cu * cv * np.sum(block * np.outer(cu_cos, cv_cos))
+    return out
+
+
+class _JpegBW:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)      # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def sym(self, code_map, s):
+        code, length = code_map[s]
+        self.bits(code, length)
+
+    def align(self):
+        while self.n:
+            self.bits(1, 1)
+
+
+def _jpeg_bytes(img, subsample=False, restart=0):
+    """Minimal baseline JFIF writer (tests only). img: float in [0,1],
+    (h, w) grayscale or (h, w, 3) RGB. subsample=True emits 4:2:0."""
+    import struct
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.float64) * 255.0
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    zig = _jpeg_zigzag()
+    # additive (non-flat) quant tables: any zigzag mistake in DQT
+    # parsing or coefficient placement shifts values visibly
+    qy = (np.add.outer(np.arange(8.0), np.arange(8.0)) + 1.0)
+    qy[0, 0] = 1.0
+    qc = 2.0 * (np.add.outer(np.arange(8.0), np.arange(8.0)) + 1.0)
+
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    dc_map = {s: (i, 4) for i, s in enumerate(dc_syms)}
+    ac_map = {s: (i, 8) for i, s in enumerate(ac_syms)}
+
+    def dht(tc, th, syms, length):
+        counts = [0] * 16
+        counts[length - 1] = len(syms)
+        body = bytes([tc << 4 | th]) + bytes(counts) + bytes(syms)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    def dqt(tq, q):
+        body = bytes([tq]) + bytes(int(q[r, c]) for r, c in zig)
+        return b"\xff\xdb" + struct.pack(">H", 2 + len(body)) + body
+
+    if gray:
+        ycc = [img]
+        samp = [(1, 1)]
+        qs = [qy]
+    else:
+        r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            def down(p):
+                ph = p.shape[0] + (p.shape[0] & 1)
+                pw = p.shape[1] + (p.shape[1] & 1)
+                p = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                           mode="edge")
+                return (p[0::2, 0::2] + p[1::2, 0::2]
+                        + p[0::2, 1::2] + p[1::2, 1::2]) / 4.0
+
+            ycc = [y, down(cb), down(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            ycc = [y, cb, cr]
+            samp = [(1, 1)] * 3
+        qs = [qy, qc, qc]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for p, (sh, sv) in zip(ycc, samp):
+        th, tw = mcuy * sv * 8, mcux * sh * 8
+        planes.append(np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                             mode="edge"))
+
+    bw = _JpegBW()
+    preds = [0] * len(planes)
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                bw.align()
+                bw.buf += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                preds = [0] * len(planes)
+            mcu_count += 1
+            for ci, (p, (sh, sv), q) in enumerate(zip(planes, samp, qs)):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        coeffs = _jpeg_dct2(p[y0:y0 + 8, x0:x0 + 8] - 128.0)
+                        qz = [int(round(coeffs[r, c] / q[r, c])) for r, c in zig]
+                        diff = qz[0] - preds[ci]
+                        preds[ci] = qz[0]
+                        s = abs(diff).bit_length()
+                        bw.sym(dc_map, s)
+                        if s:
+                            bw.bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                        run = 0
+                        for k in range(1, 64):
+                            v = qz[k]
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run >= 16:
+                                bw.sym(ac_map, 0xF0)
+                                run -= 16
+                            s2 = abs(v).bit_length()
+                            bw.sym(ac_map, (run << 4) | s2)
+                            bw.bits(v if v >= 0 else v + (1 << s2) - 1, s2)
+                            run = 0
+                        if run:
+                            bw.sym(ac_map, 0x00)
+    bw.align()
+
+    out = bytearray(b"\xff\xd8")
+    out += dqt(0, qy)
+    if not gray:
+        out += dqt(1, qc)
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        tq = 0 if ci == 0 else 1
+        sof += bytes([ci + 1, samp[ci][0] << 4 | samp[ci][1], tq])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += dht(0, 0, dc_syms, 4) + dht(1, 0, ac_syms, 8)
+    if not gray:
+        out += dht(0, 1, dc_syms, 4) + dht(1, 1, ac_syms, 8)
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, t << 4 | t])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_test_image(h, w, color=False):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (np.sin(xx / 9.0) + np.cos(yy / 7.0) + 2.0) / 4.0
+    if not color:
+        return base
+    return np.stack([base, base[::-1], np.full((h, w), 0.5)], axis=2)
+
+
+def test_jpeg_decoder_grayscale_roundtrip():
+    import numpy as np
+
+    from weak_supervision_for_ner_spark.functions.jpeg import decode_jpeg
+
+    # odd dimensions: exercises MCU padding + final crop
+    img = _jpeg_test_image(13, 21)
+    out = decode_jpeg(_jpeg_bytes(img))
+    assert out.shape == (13, 21)
+    assert np.abs(out - img).max() < 0.02, np.abs(out - img).max()
+    # flat image = DC-only path, near-exact
+    flat = np.full((8, 8), 0.4)
+    assert np.abs(decode_jpeg(_jpeg_bytes(flat)) - 0.4).max() < 0.005
+
+
+def test_jpeg_decoder_color_444_and_420():
+    import numpy as np
+
+    from weak_supervision_for_ner_spark.functions.jpeg import decode_jpeg
+
+    img = _jpeg_test_image(24, 17, color=True)
+    want = img.mean(axis=2)
+    out444 = decode_jpeg(_jpeg_bytes(img))
+    assert out444.shape == (24, 17)
+    assert np.abs(out444 - want).max() < 0.02, np.abs(out444 - want).max()
+    out420 = decode_jpeg(_jpeg_bytes(img, subsample=True))
+    assert out420.shape == (24, 17)
+    # chroma is box-downsampled then nearest-upsampled: looser bound
+    assert np.abs(out420 - want).max() < 0.06, np.abs(out420 - want).max()
+
+
+def test_jpeg_decoder_restart_markers():
+    import numpy as np
+
+    from weak_supervision_for_ner_spark.functions.jpeg import decode_jpeg
+
+    img = _jpeg_test_image(16, 40)           # 10 MCUs -> 4 restarts at DRI=2
+    plain = decode_jpeg(_jpeg_bytes(img))
+    with_rst = decode_jpeg(_jpeg_bytes(img, restart=2))
+    assert np.allclose(plain, with_rst, atol=1e-9)
+
+
+def test_jpeg_decoder_rejections():
+    import struct
+
+    import pytest
+
+    from weak_supervision_for_ner_spark.functions.jpeg import decode_jpeg
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    # progressive (SOF2) must point at the register_decoder seam
+    good = bytearray(_jpeg_bytes(_jpeg_test_image(8, 8)))
+    sof = good.find(b"\xff\xc0")
+    good[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="register_decoder"):
+        decode_jpeg(bytes(good))
+    # truncated scan: must error, not loop
+    trunc = _jpeg_bytes(_jpeg_test_image(16, 16))[:-40]
+    with pytest.raises((ValueError, IndexError)):
+        decode_jpeg(trunc)
+
+
+def test_real_jpeg_through_spark_stages(spark):
+    """REAL huffman-coded JPEG bytes through extract_features and
+    resize_images with NO registered decoder — the builtin magic-byte
+    decoder closes the lossy-image modality end-to-end."""
+    import numpy as np
+
+    from weak_supervision_for_ner_spark.operators import multimodal as mm
+
+    mm._DECODER = None
+    img = np.zeros((16, 16, 3))
+    img[:8] = 1.0                          # top half white
+    payload = _jpeg_bytes(img, subsample=True)
+    media = spark.createDataFrame(
+        [("jpg1", "image", "image/jpeg", bytearray(payload), 16, 16, None)],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    feats = {r["media_id"]: r for r in mm.extract_features(media, dim=8).collect()}
+    assert feats["jpg1"]["n_bytes"] == len(payload)
+    resized = {r["media_id"]: r for r in mm.resize_images(media, 2, 2).collect()}
+    px = np.array(resized["jpg1"]["pixels"]).reshape(2, 2)
+    assert np.all(px[0] > 0.9) and np.all(px[1] < 0.1), px

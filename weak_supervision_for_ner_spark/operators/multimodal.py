@@ -2,13 +2,14 @@
 columns with typed metadata.
 
 The Spark-side plumbing (schema, partitioning, Arrow UDF signatures,
-batch shape) is real and tested. Codecs: WAV audio, PPM/PGM and PNG
-images decode FOR REAL with pure numpy/stdlib (``decode_wav_pcm``,
-``decode_ppm``, ``decode_png`` — zlib inflate + unfilter — sniffed by
-magic bytes in ``builtin_decoder``); the remaining compressed formats
-(JPEG/MP3/H.264) still enter behind ``register_decoder`` because the
-sandbox has no PIL/ffmpeg — production registers the real codec
-inside the same mapInPandas.
+batch shape) is real and tested. Codecs: WAV audio, PPM/PGM, PNG and
+baseline JPEG images decode FOR REAL with pure numpy/stdlib
+(``decode_wav_pcm``, ``decode_ppm``, ``decode_png`` — zlib inflate +
+unfilter — and ``functions.jpeg.decode_jpeg`` — huffman + IDCT —
+sniffed by magic bytes in ``builtin_decoder``); the remaining
+compressed formats (progressive JPEG/MP3/H.264) still enter behind
+``register_decoder`` because the sandbox has no PIL/ffmpeg —
+production registers the real codec inside the same mapInPandas.
 
 Design notes for 100 TB:
 - blobs stay in the lake; this operator reads (path, bytes) batches
@@ -272,19 +273,23 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 def builtin_decoder(payload: bytes, kind: str) -> np.ndarray:
     """Magic-byte-sniffing default decoder: real decodes for WAV audio,
-    PPM/PGM images and (zlib-compressed) PNG images; anything else
-    still needs a registered decoder (PIL/ffmpeg are not in this
-    sandbox)."""
+    PPM/PGM, (zlib-compressed) PNG and baseline-huffman JPEG images;
+    anything else (progressive JPEG, MP3, H.264) still needs a
+    registered decoder (PIL/ffmpeg are not in this sandbox)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav_pcm(payload)
     if payload[:2] in (b"P5", b"P6"):
         return decode_ppm(payload)
     if payload[:8] == _PNG_MAGIC:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from weak_supervision_for_ner_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
         f"no built-in decoder for this {kind} payload — built-ins cover "
-        "WAV, PPM/PGM and PNG; pass decoder= or call register_decoder() "
-        "for other compressed formats"
+        "WAV, PPM/PGM, PNG and baseline JPEG; pass decoder= or call "
+        "register_decoder() for other compressed formats"
     )
 
 
