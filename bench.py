@@ -316,6 +316,9 @@ def main() -> None:
             out["scaling"] = scaling_bench.measure_pair(
                 scale_n, scale_docs,
                 attempts=int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "3")),
+                min_attempts=int(
+                    os.environ.get("SPARK_GRAFT_SCALE_MIN_ATTEMPTS", "2")
+                ),
                 # the bench's own sweep just saturated all cores and its
                 # 1-minute load tail decays over ~2-3 min; timing the 4N
                 # leg inside that tail understates efficiency by ~0.15
@@ -329,8 +332,13 @@ def main() -> None:
                     os.environ.get("SPARK_GRAFT_SCALE_WAIT_S", "300")
                 ),
             )
-            out["kg_docs_per_sec_192k"] = (
-                out["scaling"][f"local{4 * scale_n}"]["docs_per_sec"]
+            # core count in the key name: r1-r5 reported this number
+            # from a 16/32-core leg under a bare "kg_docs_per_sec_192k"
+            # key, so a same-key 8-core value would read as a 2x
+            # regression in cross-round diffs
+            hi_cores = 4 * scale_n
+            out[f"kg_docs_per_sec_{scale_docs // 1000}k_{hi_cores}c"] = (
+                out["scaling"][f"local{hi_cores}"]["docs_per_sec"]
             )
         except Exception as exc:  # noqa: BLE001 — bench must still emit
             print(f"# scaling block failed: {exc}", file=sys.stderr)

@@ -51,9 +51,10 @@ local[4] leg moved only 79.1 vs 73.9). Therefore:
     driver's wall-clock budget).
 
 Usage: python scaling_bench.py [n_docs]   (default 192000)
-Env: SPARK_GRAFT_SCALE_N (default 4), SPARK_GRAFT_SCALE_ATTEMPTS
-(default 3), SPARK_GRAFT_SCALE_LOAD_MAX (default 2.5),
-SPARK_GRAFT_SCALE_WAIT_S (per-leg idle-wait cap, default 300).
+Env: SPARK_GRAFT_SCALE_N (default 2), SPARK_GRAFT_SCALE_ATTEMPTS
+(default 3), SPARK_GRAFT_SCALE_MIN_ATTEMPTS (default 2),
+SPARK_GRAFT_SCALE_LOAD_MAX (default 2.5), SPARK_GRAFT_SCALE_WAIT_S
+(per-leg idle-wait cap, default 300).
 Prints one JSON line and appends rows to BENCH_SCALING.md.
 """
 
@@ -115,44 +116,85 @@ def run_level(cores: int, n_docs: int) -> dict:
 
 def measure_pair(n: int, n_docs: int, attempts: int = 3,
                  load_max: float = 2.5, wait_s: float = 300,
-                 gate: float = 0.8) -> dict:
+                 gate: float = 0.8, min_attempts: int = 2) -> dict:
     """N-vs-4N pair under the contamination protocol documented in the
     module docstring. Returns the summary dict (driver-compatible
     ``localN``/``local4N``/``speedup``/``efficiency`` keys) with every
-    attempt embedded under ``attempts``."""
+    attempt embedded under ``attempts``.
+
+    ``min_attempts`` guards the early exit against keeping-bias: the
+    retry rule only ADDS attempts, and best-of-N can only lower leg
+    times — lowering the N leg lowers efficiency — so stopping the
+    moment the gate passes would lock in an inflated (contaminated)
+    N-leg time that a second sample might revise down. Both legs
+    therefore get at least ``min_attempts`` samples before a pass can
+    end the loop. Raises if the job emits different triple counts at
+    different parallelism levels or attempts — a wrong-answer run
+    must not certify a throughput gate."""
+    if attempts < 1:
+        raise ValueError(f"attempts must be >= 1, got {attempts}")
+    min_attempts = min(min_attempts, attempts)
     legs: dict[str, list[dict]] = {"hi": [], "lo": []}
     summary: dict = {"n_docs": n_docs}
-    for i in range(attempts):
-        # sensitive short leg first: it gets the freshest idle slot
-        for key, cores in (("hi", 4 * n), ("lo", n)):
-            load = wait_for_idle(
-                load_max, wait_s, 15,
-                f"scaling local[{cores}] attempt {i + 1}/{attempts}")
-            rec = run_level(cores, n_docs)
-            rec["load_1m_before"] = load
-            legs[key].append(rec)
-            print(f"# scaling local[{cores}] attempt {i + 1}: "
-                  f"{rec['sec']}s ({rec['docs_per_sec']} docs/s, "
-                  f"load {load})", file=sys.stderr)
-        best_lo = min(legs["lo"], key=lambda r: r["sec"])
-        best_hi = min(legs["hi"], key=lambda r: r["sec"])
-        eff = round((best_lo["sec"] / best_hi["sec"]) / 4.0, 3)
-        if eff >= gate:
-            break
+    try:
+        for i in range(attempts):
+            # sensitive short leg first: it gets the freshest idle slot
+            for key, cores in (("hi", 4 * n), ("lo", n)):
+                load = wait_for_idle(
+                    load_max, wait_s, 15,
+                    f"scaling local[{cores}] attempt {i + 1}/{attempts}")
+                rec = run_level(cores, n_docs)
+                rec["load_1m_before"] = load
+                legs[key].append(rec)
+                print(f"# scaling local[{cores}] attempt {i + 1}: "
+                      f"{rec['sec']}s ({rec['docs_per_sec']} docs/s, "
+                      f"load {load})", file=sys.stderr)
+            best_lo = min(legs["lo"], key=lambda r: r["sec"])
+            best_hi = min(legs["hi"], key=lambda r: r["sec"])
+            eff = round((best_lo["sec"] / best_hi["sec"]) / 4.0, 3)
+            if eff >= gate and i + 1 >= min_attempts:
+                break
+    except BaseException:
+        # completed attempts must reach the log even when a later leg
+        # dies — "EVERY attempt recorded" includes failed protocols
+        if legs["hi"] or legs["lo"]:
+            _append_partial_log(n, n_docs, legs)
+        raise
     triples = {r["triples"] for rs in legs.values() for r in rs}
+    if len(triples) != 1:
+        _append_partial_log(n, n_docs, legs)
+        raise ValueError(
+            f"triple counts diverged across legs/attempts: {sorted(triples)} "
+            "— the job is not parallelism-deterministic; refusing to "
+            "certify a throughput gate over a wrong answer")
     summary.update({
         f"local{n}": best_lo,
         f"local{4 * n}": best_hi,
         "speedup": round(best_lo["sec"] / best_hi["sec"], 2),
         "efficiency": eff,
         "protocol": (f"per-leg idle-gate<{load_max:g} (wait<={wait_s:g}s), "
-                     f"4N-leg first, alternating best-of-{attempts}, "
-                     f"early-exit>={gate:g}"),
+                     f"4N-leg first, alternating best-of-{attempts} "
+                     f"(min {min_attempts}), early-exit>={gate:g}"),
         "attempts": legs,
-        "triples_consistent": len(triples) == 1,
+        "triples_consistent": True,
     })
     _append_log(n, summary)
     return summary
+
+
+def _append_partial_log(n: int, n_docs: int, legs: dict) -> None:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_SCALING.md")
+    ts = time.strftime("%Y-%m-%d %H:%M", time.gmtime())
+    with open(path, "a") as fd:
+        fd.write(f"\n<!-- ABORTED pair {ts}Z ({n_docs} docs): protocol died "
+                 f"mid-run; completed attempts follow -->\n")
+        for key, cores in (("lo", n), ("hi", 4 * n)):
+            for j, r in enumerate(legs[key]):
+                fd.write(f"<!--   local[{cores}] attempt {j + 1}: "
+                         f"{r['sec']}s ({r['docs_per_sec']}/s, "
+                         f"load {r['load_1m_before']}, "
+                         f"triples {r['triples']}) -->\n")
 
 
 def _append_log(n: int, summary: dict) -> None:
@@ -191,6 +233,7 @@ def main() -> None:
         attempts=int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "3")),
         load_max=float(os.environ.get("SPARK_GRAFT_SCALE_LOAD_MAX", "2.5")),
         wait_s=float(os.environ.get("SPARK_GRAFT_SCALE_WAIT_S", "300")),
+        min_attempts=int(os.environ.get("SPARK_GRAFT_SCALE_MIN_ATTEMPTS", "2")),
     )
     print(json.dumps({"metric": f"scaling_efficiency_{n}_to_{4 * n}",
                       "value": summary["efficiency"], **summary}))

@@ -46,6 +46,9 @@ def main():
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("usage: check_contract.py [--json OUT.json] "
+                     "[sf_dir] [only_query ...]")
         json_out = argv[i + 1]
         del argv[i:i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"

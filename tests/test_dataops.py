@@ -1262,6 +1262,18 @@ def test_drop_boilerplate_is_lazy(spark):
     # and the lazily-built plan still computes the right answer
     got = {r["doc_id"]: r["cleaned"] for r in df.collect()}
     assert got == {1: "b", 2: "c"}
+    # the frequency agg feeds BOTH the common-case key set and the
+    # collision suspect set; without the load-bearing (nd >= 1)
+    # conjunct (see dedup.py) the two subtree instances stop
+    # canonicalizing equal and AQE runs the agg's (lh, doc_id)
+    # partial shuffle TWICE — assert exactly one materialized
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    freq_stages = re.findall(
+        r"ShuffleQueryStage (\d+)\n[^\n]*Exchange "
+        r"hashpartitioning\(lh#\d+L, doc_id#\d+L", plan)
+    assert len(set(freq_stages)) == 1, plan
 
 
 def test_drop_boilerplate_plan_partial_agg_no_cartesian(spark):
@@ -1547,6 +1559,33 @@ def test_jpeg_decoder_rejections():
     trunc = _jpeg_bytes(_jpeg_test_image(16, 16))[:-40]
     with pytest.raises((ValueError, IndexError)):
         decode_jpeg(trunc)
+    # 12-bit extended-sequential: reject, never decode to garbage
+    deep = bytearray(_jpeg_bytes(_jpeg_test_image(8, 8)))
+    sof12 = deep.find(b"\xff\xc0")
+    deep[sof12 + 4] = 12                      # sample-precision byte
+    with pytest.raises(NotImplementedError, match="precision"):
+        decode_jpeg(bytes(deep))
+    # several single-component scans (legal non-interleaved baseline):
+    # the scope error must fire before entropy decode, not a KeyError
+    color = _jpeg_bytes(_jpeg_test_image(8, 8, color=True))
+    sos = color.find(b"\xff\xda")
+    partial_sos = b"\xff\xda\x00\x08" + bytes([1, 1, 0x00, 0, 63, 0])
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_jpeg(color[:sos] + partial_sos + b"\x00\xff\xd9")
+
+
+def test_jpeg_decoder_fill_bytes():
+    """T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+    fill bytes — real encoders emit them, the parser must skip them."""
+    import numpy as np
+
+    from weak_supervision_for_ner_spark.functions.jpeg import decode_jpeg
+
+    img = _jpeg_test_image(11, 9)
+    good = _jpeg_bytes(img)
+    dqt = good.find(b"\xff\xdb")
+    padded = good[:dqt] + b"\xff\xff\xff" + good[dqt:]
+    assert np.allclose(decode_jpeg(padded), decode_jpeg(good), atol=1e-12)
 
 
 def test_real_jpeg_through_spark_stages(spark):

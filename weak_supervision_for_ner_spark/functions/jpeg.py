@@ -140,6 +140,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = payload[pos + 1]
+        if marker == 0xFF:                       # fill byte (T.81 B.1.1.2):
+            pos += 1                             # markers may be 0xFF-padded
+            continue
         if marker == 0xD9:                       # EOI before any scan
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
@@ -162,6 +165,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 table[ZIGZAG] = vals             # stored in zigzag order
                 qt[tq] = table.reshape(8, 8)
         elif marker in (0xC0, 0xC1):             # SOF0/1: sequential huffman
+            if seg[0] != 8:                      # SOF1 permits 12-bit samples
+                raise NotImplementedError(
+                    f"{seg[0]}-bit sample precision — the baseline decoder "
+                    "handles 8-bit only; register_decoder() a full codec")
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             comps = []
@@ -202,6 +209,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("JPEG missing SOF or SOS")
 
     h, w, comps = frame
+    if any(c["id"] not in scan for c in comps):
+        # legal baseline variant: several single-component (Ns=1) scans
+        # instead of one interleaved scan — out of this decoder's scope
+        raise NotImplementedError(
+            "multi-scan (non-interleaved) baseline JPEG — this decoder "
+            "handles one interleaved scan; register_decoder() a full codec")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))

@@ -589,21 +589,19 @@ def mask_repeated_spans(
     from typing import Iterator
 
     from weak_supervision_for_ner_spark.operators.textstats import (
+        filtered_tokens,
         hashed_token_windows,
     )
 
     # null text = empty doc (the Arrow rewrite would crash on a None
     # token array; the oracle agrees via its own list_filter). Tokens
-    # keep their ORIGINAL case for the rebuild; the window hashes are
-    # computed over a lowercased view of the same array — the
-    # split/trim/filter rule is shared, so positions are identical
-    # (lowercasing cannot create or destroy \s+ boundaries).
+    # keep their ORIGINAL case for the rebuild (the shared canonical
+    # tokenization, un-lowered); the window hashes are computed over a
+    # lowercased view of the same array — positions are identical.
     txt = F.coalesce(F.col(text_col), F.lit(""))
     base = documents.select(
         F.col(id_col),
-        F.filter(
-            F.split(F.trim(txt), r"\s+"), lambda x: x != F.lit("")
-        ).alias("toks"),
+        filtered_tokens(txt, lower=False).alias("toks"),
     )
     lower_toks = F.transform(F.col("toks"), F.lower)
     wins = base.select(
@@ -747,7 +745,19 @@ def drop_boilerplate_lines(
     # probe scans run. Collisions are heavy-hitters-bounded when they
     # do occur, so the broadcast hint is safe in the branch's only
     # reachable regime.
-    suspect_h = freq.filter(F.col("v_min") != F.col("v_max")).select("lh")
+    # the (nd >= 1) conjunct is semantically vacuous (count_distinct of
+    # a grouped key is always >= 1) but LOAD-BEARING: without it the
+    # optimizer simplifies this branch's filter to the collision test
+    # alone, column pruning then drops the nd aggregation from THIS
+    # instance of the freq subtree, the two instances stop
+    # canonicalizing equal, and AQE's stage reuse no longer dedups the
+    # frequency shuffle — the corpus would be scanned and aggregated
+    # TWICE (measured: 6 distinct shuffle stages vs 4 with the
+    # conjunct). Pinned by the stage-count assert in
+    # test_drop_boilerplate_is_lazy.
+    suspect_h = freq.filter(
+        (F.col("nd") >= 1) & (F.col("v_min") != F.col("v_max"))
+    ).select("lh")
     common_suspect = (
         lines.join(F.broadcast(suspect_h), "lh", "left_semi")
         .groupBy("line")

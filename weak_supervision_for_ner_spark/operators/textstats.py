@@ -171,12 +171,17 @@ def repetition_signals(documents: DataFrame, text_col: str = "text") -> DataFram
     ).drop("_n_2grams")
 
 
-def filtered_tokens(col):
-    """Empty-filtered lowercase whitespace tokens — the canonical
-    tokenization for the n-gram window operators (an empty/whitespace
-    text yields an EMPTY array, never [''])."""
+def filtered_tokens(col, lower: bool = True):
+    """Empty-filtered whitespace tokens — THE canonical tokenization
+    for the n-gram window operators (an empty/whitespace text yields
+    an EMPTY array, never ['']). ``lower=False`` keeps original case
+    with IDENTICAL positions (lowercasing cannot create or destroy
+    \\s+ boundaries), for callers that hash a lowercased view but
+    rebuild original text (mask_repeated_spans)."""
+    if lower:
+        col = F.lower(col)
     return F.filter(
-        F.split(F.lower(F.trim(col)), r"\s+"), lambda x: x != F.lit("")
+        F.split(F.trim(col), r"\s+"), lambda x: x != F.lit("")
     )
 
 
