@@ -1609,3 +1609,37 @@ def test_real_jpeg_through_spark_stages(spark):
     resized = {r["media_id"]: r for r in mm.resize_images(media, 2, 2).collect()}
     px = np.array(resized["jpg1"]["pixels"]).reshape(2, 2)
     assert np.all(px[0] > 0.9) and np.all(px[1] < 0.1), px
+
+
+def test_jpeg_decoder_randomized_roundtrip():
+    """Seeded randomized property sweep: random dimensions (including
+    MCU-boundary and sub-block sizes), gray/color, 4:4:4/4:2:0, with
+    and without restart markers — decoded output must track the
+    encoder's input within quantization tolerance everywhere."""
+    import numpy as np
+
+    from weak_supervision_for_ner_spark.functions.jpeg import decode_jpeg
+
+    rng = np.random.default_rng(20260817)
+    for trial in range(12):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 40))
+        color = bool(rng.integers(0, 2))
+        subsample = color and bool(rng.integers(0, 2))
+        restart = int(rng.choice([0, 0, 1, 3]))
+        # smooth low-frequency content: quantization error stays small,
+        # so the tolerance actually certifies the transform chain
+        yy, xx = np.mgrid[0:h, 0:w]
+        fx, fy = rng.uniform(0.02, 0.2, size=2)
+        base = (np.sin(xx * fx) * np.cos(yy * fy) + 1.0) / 2.0
+        if color:
+            img = np.stack([base, base ** 2, 1.0 - base], axis=2)
+            want = img.mean(axis=2)
+        else:
+            img = base
+            want = base
+        out = decode_jpeg(_jpeg_bytes(img, subsample=subsample, restart=restart))
+        assert out.shape == (h, w), (trial, h, w)
+        tol = 0.06 if subsample else 0.03
+        err = np.abs(out - want).max()
+        assert err < tol, (trial, h, w, color, subsample, restart, err)
