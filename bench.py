@@ -331,6 +331,14 @@ def main() -> None:
                 wait_s=float(
                     os.environ.get("SPARK_GRAFT_SCALE_WAIT_S", "300")
                 ),
+                # self-bound the pair's wall-clock so a driver-side
+                # timeout on the whole bench can never kill the run
+                # mid-protocol and lose the stdout JSON entirely — an
+                # under-sampled pair WITH its sampling recorded beats
+                # no artifact at all
+                budget_s=float(
+                    os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "1200")
+                ),
             )
             # core count in the key name: r1-r5 reported this number
             # from a 16/32-core leg under a bare "kg_docs_per_sec_192k"

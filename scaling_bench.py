@@ -116,7 +116,8 @@ def run_level(cores: int, n_docs: int) -> dict:
 
 def measure_pair(n: int, n_docs: int, attempts: int = 3,
                  load_max: float = 2.5, wait_s: float = 300,
-                 gate: float = 0.8, min_attempts: int = 2) -> dict:
+                 gate: float = 0.8, min_attempts: int = 2,
+                 budget_s: float | None = None) -> dict:
     """N-vs-4N pair under the contamination protocol documented in the
     module docstring. Returns the summary dict (driver-compatible
     ``localN``/``local4N``/``speedup``/``efficiency`` keys) with every
@@ -130,14 +131,35 @@ def measure_pair(n: int, n_docs: int, attempts: int = 3,
     therefore get at least ``min_attempts`` samples before a pass can
     end the loop. Raises if the job emits different triple counts at
     different parallelism levels or attempts — a wrong-answer run
-    must not certify a throughput gate."""
+    must not certify a throughput gate.
+
+    ``budget_s`` bounds the pair's total wall-clock (idle-waits
+    included): once exceeded AND at least one complete pair exists,
+    no further leg starts — a caller with its own timeout (the
+    driver's bench harness) must get SOME self-certifying artifact
+    rather than being killed mid-protocol and emitting nothing. The
+    budget outranks min_attempts (an under-sampled pair with its
+    sampling recorded beats no evidence at all; the artifact's
+    ``attempts`` lists show exactly how many samples each leg got)."""
     if attempts < 1:
         raise ValueError(f"attempts must be >= 1, got {attempts}")
     min_attempts = min(min_attempts, attempts)
     legs: dict[str, list[dict]] = {"hi": [], "lo": []}
     summary: dict = {"n_docs": n_docs}
+    t_start = time.monotonic()
+
+    def over_budget() -> bool:
+        return (budget_s is not None
+                and time.monotonic() - t_start > budget_s
+                and bool(legs["hi"]) and bool(legs["lo"]))
+
     try:
         for i in range(attempts):
+            if over_budget():
+                print(f"# scaling budget {budget_s:g}s exceeded with a "
+                      f"complete pair on record; stopping at attempt {i}",
+                      file=sys.stderr)
+                break
             # sensitive short leg first: it gets the freshest idle slot
             for key, cores in (("hi", 4 * n), ("lo", n)):
                 load = wait_for_idle(
@@ -174,7 +196,8 @@ def measure_pair(n: int, n_docs: int, attempts: int = 3,
         "efficiency": eff,
         "protocol": (f"per-leg idle-gate<{load_max:g} (wait<={wait_s:g}s), "
                      f"4N-leg first, alternating best-of-{attempts} "
-                     f"(min {min_attempts}), early-exit>={gate:g}"),
+                     f"(min {min_attempts}), early-exit>={gate:g}"
+                     + (f", budget<={budget_s:g}s" if budget_s else "")),
         "attempts": legs,
         "triples_consistent": True,
     })

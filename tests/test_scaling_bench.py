@@ -64,3 +64,23 @@ def test_bad_attempts_and_partial_log_on_crash(monkeypatch, quiet):
         sb.measure_pair(2, 1000, attempts=2)
     # the completed first leg reached the log before the crash surfaced
     assert quiet["partial"] and quiet["partial"][-1]["hi"]
+
+
+def test_budget_stops_after_complete_pair(monkeypatch, quiet):
+    """budget_s outranks min_attempts: with one complete pair on
+    record and the budget spent, no further leg starts — the caller's
+    harness timeout must never kill the protocol mid-run."""
+    clock = {"t": 0.0}
+    monkeypatch.setattr(sb.time, "monotonic", lambda: clock["t"])
+
+    def slow_run(cores, n_docs):
+        clock["t"] += 100.0                      # each leg burns budget
+        return {"cores": cores, "sec": 50.0 if cores == 8 else 120.0,
+                "docs_per_sec": 1.0, "triples": 9}
+
+    monkeypatch.setattr(sb, "run_level", slow_run)
+    s = sb.measure_pair(2, 1000, attempts=3, min_attempts=3, budget_s=150.0)
+    # pair 1 (two legs, 200 "seconds") exceeds the budget; attempts 2-3
+    # never run despite min_attempts=3 and a failing gate (eff 0.6)
+    assert len(s["attempts"]["hi"]) == 1 and len(s["attempts"]["lo"]) == 1
+    assert s["efficiency"] == 0.6 and "budget<=150" in s["protocol"]
