@@ -562,6 +562,55 @@ def q_pack_shards(spark, sf_dir):
     return pack_shards(_t(spark, sf_dir, "documents"), budget=2048)
 
 
+def _synth_urls(spark, sf_dir):
+    """Deterministic dirty-URL table derived from documents.doc_id (the
+    corpus tables carry no url column): four variant families, two of
+    which collide AFTER canonicalization (case/www/port/tracking/order
+    noise on one side, gclid noise on the other), one clean-unique, one
+    non-url passthrough. The oracle builds the identical column with
+    the same CASE over doc_id."""
+    from pyspark.sql import functions as F
+
+    d = F.col("doc_id")
+    k = F.expr("doc_id div 4").cast("string")
+    url = (
+        F.when(d % 4 == 0, F.concat(
+            F.lit("HTTP://WWW.Example.COM:80/page/"), k,
+            F.lit("/?utm_source=x&b=2&a=1#frag")))
+        .when(d % 4 == 1, F.concat(
+            F.lit("http://Example.com/page/"), k, F.lit("?a=1&b=2&gclid=zz")))
+        .when(d % 4 == 2, F.concat(
+            F.lit("https://news.site"), (d % 13).cast("string"),
+            F.lit(".org:443/Article/"), d.cast("string")))
+        .otherwise(F.concat(F.lit("bare-string-"), d.cast("string")))
+    )
+    return _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+
+
+def q_canonicalize_urls(spark, sf_dir):
+    """URL canonicalization (the Common-Crawl dedup-by-url step):
+    scheme/host lowercasing, www + default-port stripping, fragment
+    drop, tracking-param removal, query-param sort, trailing-slash
+    normalization — doc 4k and 4k+1 must land in one canonical group
+    (n_same_url=2) despite sharing not a single byte of query order,
+    case or port decoration. url_group (xxhash64) is projected out of
+    the gate only because DuckDB has no xxhash64; it is pytest-pinned
+    equal-iff-canonical-equal instead."""
+    from weak_supervision_for_ner_spark.operators.urls import canonicalize_urls
+
+    return canonicalize_urls(_synth_urls(spark, sf_dir)).select(
+        "doc_id", "url", "canonical_url", "n_same_url")
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """CCNet-style LM quality ordering, unigram edition: mean add-one-
+    smoothed log-probability per doc + perplexity, self-derived from
+    the corpus (the lm= seam takes an external model table)."""
+    from weak_supervision_for_ner_spark.operators.textstats import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def q_token_counts(spark, sf_dir):
     from weak_supervision_for_ner_spark.operators.textstats import token_counts
 
@@ -1011,6 +1060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "cap_per_domain": q_cap_per_domain,
         "pack_shards": q_pack_shards,
+        "canonicalize_urls": q_canonicalize_urls,
+        "unigram_logprob": q_unigram_logprob,
         "mask_repeated_spans": q_mask_repeated_spans,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
@@ -1642,6 +1693,83 @@ def oracle_sql() -> dict[str, str]:
                             ELSE len(string_split_regex(trim(text), '\\s+'))
                        END AS n_tokens
                 FROM documents))
+    """
+
+    # the oracle rebuilds the SAME dirty-url column from doc_id, then
+    # mirrors every canonicalization rule with DuckDB's regex/list
+    # functions (all patterns inside the Java-and-RE2 shared subset);
+    # url_group (xxhash64) is excluded - DuckDB has no xxhash64 - and
+    # pytest pins group-key semantics instead
+    sql["canonicalize_urls"] = """
+        WITH urls AS (
+            SELECT doc_id,
+                CASE CAST(doc_id % 4 AS INTEGER)
+                    WHEN 0 THEN 'HTTP://WWW.Example.COM:80/page/' || (doc_id // 4) || '/?utm_source=x&b=2&a=1#frag'
+                    WHEN 1 THEN 'http://Example.com/page/' || (doc_id // 4) || '?a=1&b=2&gclid=zz'
+                    WHEN 2 THEN 'https://news.site' || (doc_id % 13) || '.org:443/Article/' || doc_id
+                    ELSE 'bare-string-' || doc_id
+                END AS url
+            FROM documents),
+        p1 AS (
+            SELECT doc_id, url,
+                lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+                regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '#.*$', '') AS rest
+            FROM urls),
+        p2 AS (
+            SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS hostport FROM p1),
+        p3 AS (
+            SELECT *, substring(rest, length(hostport) + 1) AS tail,
+                CASE WHEN scheme = 'http'
+                         THEN regexp_replace(regexp_replace(lower(hostport), '^www\\.', ''), ':80$', '')
+                     WHEN scheme = 'https'
+                         THEN regexp_replace(regexp_replace(lower(hostport), '^www\\.', ''), ':443$', '')
+                     ELSE regexp_replace(lower(hostport), '^www\\.', '')
+                END AS host
+            FROM p2),
+        p4 AS (
+            SELECT *, regexp_extract(tail, '^([^?]*)', 1) AS path0 FROM p3),
+        p5 AS (
+            SELECT *,
+                CASE WHEN path0 = '' THEN '/'
+                     WHEN path0 <> '/' THEN regexp_replace(path0, '/$', '')
+                     ELSE path0 END AS path,
+                list_sort(list_filter(
+                    string_split(substring(tail, length(path0) + 2), '&'),
+                    x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|msclkid)(=.*)?$')
+                )) AS kept
+            FROM p4),
+        canon AS (
+            SELECT doc_id, url,
+                CASE WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://')
+                     THEN scheme || '://' || host || path ||
+                          CASE WHEN len(kept) > 0
+                               THEN '?' || array_to_string(kept, '&')
+                               ELSE '' END
+                     ELSE url END AS canonical_url
+            FROM p5)
+        SELECT doc_id, url, canonical_url,
+               count(*) OVER (PARTITION BY canonical_url) AS n_same_url
+        FROM canon
+    """
+
+    sql["unigram_logprob"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                      x -> x <> '')) AS tok
+            FROM documents),
+        counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+        tot AS (SELECT sum(c) AS n_total, count(*) AS vocab FROM counts),
+        lm AS (SELECT tok, ln((c + 1.0) / (n_total + vocab)) AS logprob
+               FROM counts, tot),
+        per AS (SELECT doc_id, count(*) AS n_tokens, avg(logprob) AS avg_logprob
+                FROM toks JOIN lm USING (tok) GROUP BY 1)
+        SELECT d.doc_id,
+               COALESCE(p.n_tokens, 0) AS n_tokens,
+               ROUND(COALESCE(p.avg_logprob, 0.0), 6) AS avg_logprob,
+               ROUND(CASE WHEN p.n_tokens IS NULL THEN 0.0
+                          ELSE exp(-p.avg_logprob) END, 4) AS ppl
+        FROM documents d LEFT JOIN per p USING (doc_id)
     """
 
     sql["cap_per_domain"] = """

@@ -1643,3 +1643,72 @@ def test_jpeg_decoder_randomized_roundtrip():
         tol = 0.06 if subsample else 0.03
         err = np.abs(out - want).max()
         assert err < tol, (trial, h, w, color, subsample, restart, err)
+
+
+def test_canonicalize_urls(spark):
+    from weak_supervision_for_ner_spark.operators.urls import canonicalize_urls
+
+    rows = [
+        (1, "HTTP://WWW.Example.COM:80/a/?utm_source=x&b=2&a=1#frag"),
+        (2, "http://Example.com/a?a=1&b=2&gclid=zz"),   # same page as 1
+        (3, "https://Site.org:443/"),
+        (4, "https://site.org"),                        # same page as 3
+        (5, "https://site.org:8443/x/"),                # non-default port kept
+        (6, "not a url at all"),                        # passthrough
+        (7, "http://host.net/p?fbclid=1&msclkid=2&utm_campaign=c"),  # all tracked
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r for r in canonicalize_urls(docs).collect()}
+    assert got[1]["canonical_url"] == "http://example.com/a?a=1&b=2"
+    assert got[2]["canonical_url"] == got[1]["canonical_url"]
+    assert got[1]["n_same_url"] == 2 and got[2]["n_same_url"] == 2
+    assert got[3]["canonical_url"] == "https://site.org/"
+    assert got[4]["canonical_url"] == "https://site.org/"
+    assert got[3]["n_same_url"] == 2
+    assert got[5]["canonical_url"] == "https://site.org:8443/x"
+    assert got[6]["canonical_url"] == "not a url at all"
+    assert got[6]["n_same_url"] == 1
+    assert got[7]["canonical_url"] == "http://host.net/p"
+    # group key semantics: url_group equal iff canonical equal (the
+    # contract gate drops this column - DuckDB has no xxhash64)
+    for a in got.values():
+        for b in got.values():
+            assert (a["url_group"] == b["url_group"]) == (
+                a["canonical_url"] == b["canonical_url"])
+
+
+def test_unigram_logprob(spark):
+    import math
+
+    import pytest
+
+    from weak_supervision_for_ner_spark.operators.textstats import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "the cat"), (2, "the dog"), (3, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    # counts: the=2, cat=1, dog=1 -> N=4, V=3; p(the)=3/7, p(cat)=2/7
+    want1 = (math.log(3 / 7) + math.log(2 / 7)) / 2
+    assert got[1]["n_tokens"] == 2
+    assert abs(got[1]["avg_logprob"] - round(want1, 6)) < 1e-6
+    assert abs(got[1]["ppl"] - round(math.exp(-want1), 4)) < 1e-3
+    assert got[2]["avg_logprob"] == got[1]["avg_logprob"]  # symmetric corpus
+    assert got[3]["n_tokens"] == 0 and got[3]["ppl"] == 0.0
+    # external model: OOV must be explicit, never silently dropped
+    lm = spark.createDataFrame([("the", -1.0)], "tok string, logprob double")
+    with pytest.raises(ValueError, match="oov"):
+        unigram_logprob(docs, lm=lm)
+    ext = {r["doc_id"]: r for r in
+           unigram_logprob(docs, lm=lm, oov_logprob=-10.0).collect()}
+    assert abs(ext[1]["avg_logprob"] - (-5.5)) < 1e-9  # (-1 + -10) / 2
+    # plan-only laziness (the drop_boilerplate rule): deriving the
+    # self-lm must not run an eager totals job
+    sc = spark.sparkContext
+    sc.setJobGroup("unigram-lazy-check", "plan-only")
+    try:
+        unigram_logprob(docs)
+        jobs = sc.statusTracker().getJobIdsForGroup("unigram-lazy-check")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(jobs) == [], jobs

@@ -412,6 +412,81 @@ def collect_form_frequency_dict(
     return {row["lform"]: dict(row["forms"]) for row in kept}
 
 
+def unigram_logprob(
+    documents: DataFrame, text_col: str = "text",
+    lm: DataFrame | None = None, oov_logprob: float | None = None,
+) -> DataFrame:
+    """CCNet-style language-model quality ordering, unigram edition:
+    (doc_id, n_tokens, avg_logprob, ppl) where ``avg_logprob`` is the
+    mean natural-log probability of the doc's tokens under an add-one-
+    smoothed unigram model and ``ppl = exp(-avg_logprob)``. Low-ppl
+    docs read like the corpus; high-ppl docs are noise/gibberish —
+    sort by ppl and threshold, exactly how CCNet buckets Common Crawl
+    (there with a KenLM 5-gram; the unigram form is the same pipeline
+    shape minus the external model artifact, and the ``lm`` parameter
+    is the seam where a real LM table plugs in).
+
+    ``lm``: optional external model table (token string column ``tok``,
+    ``logprob`` double) — e.g. derived from a clean reference corpus by
+    this same function's companion aggregation. Tokens absent from
+    ``lm`` score ``oov_logprob`` (required with ``lm``; the external
+    vocabulary cannot cover the corpus). Default ``lm=None``
+    self-derives the model from ``documents`` itself, where OOV cannot
+    occur (every scored token is in the counts by construction).
+
+    Shape at 100 TB: token counts are one partial-aggregated groupBy;
+    scoring is explode → join(token) → per-doc mean — the standard
+    LM-scoring join. Hot tokens ('the') skew the join key; AQE's
+    skew-join splitting handles exactly this (the counts side is one
+    row per hot key, so splitting the probe side is safe), and the
+    counts table itself is vocabulary-sized, usually broadcastable —
+    left to AQE's runtime sizing, same policy as decontaminate."""
+    toks = documents.select(
+        "doc_id", F.explode(filtered_tokens(F.col(text_col))).alias("tok"))
+    if lm is None:
+        # fully lazy: the (n_total, vocab) scalars ride in as a
+        # broadcast single-row cross join instead of an eager collect
+        # (plan-only callers pay nothing — the drop_boilerplate rule).
+        # Self-derivation scans the corpus twice (count, then score);
+        # at real scale derive the lm table once per corpus snapshot
+        # and pass it in, same policy as the truecase dictionary.
+        counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+        tot = counts.agg(F.sum("c").alias("n_total"),
+                         F.count(F.lit(1)).alias("vocab"))
+        lm = counts.crossJoin(F.broadcast(tot)).select(
+            "tok",
+            F.log((F.col("c") + 1.0)
+                  / (F.col("n_total") + F.col("vocab")).cast("double"))
+            .alias("logprob"),
+        )
+        oov_logprob = None          # unreachable: model covers the corpus
+    elif oov_logprob is None:
+        raise ValueError("external lm requires oov_logprob (its vocabulary "
+                         "cannot cover the corpus; silent drops would bias "
+                         "scores upward)")
+    scored = toks.join(lm, "tok", "left")
+    if oov_logprob is not None:
+        scored = scored.withColumn(
+            "logprob", F.coalesce("logprob", F.lit(float(oov_logprob))))
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("logprob").alias("avg_logprob"),
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.round(F.coalesce("avg_logprob", F.lit(0.0)), 6).alias("avg_logprob"),
+            F.round(
+                F.when(F.col("n_tokens").isNull(), 0.0)
+                .otherwise(F.exp(-F.col("avg_logprob"))), 4
+            ).alias("ppl"),
+        )
+    )
+
+
 def fingerprints(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Stable document fingerprints: full-text md5 plus a
     normalized-content md5 (lowercase, collapsed whitespace) that
