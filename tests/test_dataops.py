@@ -1712,3 +1712,24 @@ def test_unigram_logprob(spark):
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
     assert list(jobs) == [], jobs
+
+
+def test_new_ops_plan_audit(spark):
+    """Scale audit for the r6 additions: canonicalize_urls' canonical
+    form is pure codegen (no python, and only the ONE count shuffle on
+    the group key); unigram_logprob runs no python either and its lm
+    totals ride a broadcast, not a collect."""
+    from weak_supervision_for_ner_spark.operators.textstats import unigram_logprob
+    from weak_supervision_for_ner_spark.operators.urls import canonicalize_urls
+
+    docs = spark.createDataFrame(
+        [(1, "http://a.com/x", "t one"), (2, "http://b.com/y", "t two")],
+        "doc_id long, url string, text string")
+
+    uplan = canonicalize_urls(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in uplan and "ArrowEvalPython" not in uplan
+    assert uplan.count("Exchange hashpartitioning") <= 2, uplan  # count agg + join align
+
+    lplan = unigram_logprob(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in lplan and "ArrowEvalPython" not in lplan
+    assert "BroadcastNestedLoopJoin" in lplan or "BroadcastExchange" in lplan, lplan
