@@ -36,6 +36,61 @@ def _cosine(va: str, vb: str):
     return dot / (F.greatest(na, F.lit(1e-12)) * F.greatest(nb, F.lit(1e-12)))
 
 
+# ---------------------------------------------------------------------------
+# Codegen-friendly JVM kernels (optimization round r7)
+#
+# Higher-order functions (aggregate/zip_with) are CodegenFallback
+# expressions: every per-pair cosine in the JVM paths was interpreted,
+# at ~13.5 us/pair, and recomputed BOTH norms per pair. The helpers
+# below keep bit-identical float semantics while moving the work into
+# whole-stage codegen:
+#
+# - norms are computed ONCE per row (same expression, so the same
+#   double) and carried through the join instead of re-derived per
+#   pair (guide §1.2 "don't compute things you throw away");
+# - the per-pair dot product unrolls into a literal left-fold
+#   0.0 + v[0]*q[0] + v[1]*q[1] + ... when the array length is known,
+#   which is EXACTLY aggregate(zip_with(...))'s fold order (the HOF
+#   folds ((0.0 + x0) + x1) + ...; IEEE 0.0 + x == x for every finite
+#   x, and both sides sum the identical products left to right), so
+#   cosines are bit-identical — asserted by the jvm/numpy parity tests
+#   and the DuckDB oracle rows;
+# - rows whose array length does NOT match the probed dimension fall
+#   back to the original HOF expression inside a CASE WHEN branch
+#   (evaluated lazily, so well-formed rows never pay it), preserving
+#   the zip_with null-padding semantics for ragged inputs.
+# ---------------------------------------------------------------------------
+
+def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Array length of the first row (one cheap limit-1 job); None for
+    an empty input — callers then keep the pure-HOF plan."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"]) if row is not None and row["d"] is not None else None
+
+
+def _dot_pair(va: str, vb: str, dim: int | None):
+    """Pairwise dot product, codegen-unrolled when ``dim`` is known."""
+    hof = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0),
+                      lambda acc, x: acc + x)
+    if dim is None:
+        return hof
+    expr = F.lit(0.0)
+    for i in range(dim):
+        expr = expr + F.col(va)[i] * F.col(vb)[i]
+    return F.when(
+        (F.size(F.col(va)) == dim) & (F.size(F.col(vb)) == dim), expr
+    ).otherwise(hof)
+
+
+def _clamped_norm(vec_col: str):
+    """greatest(sqrt(sum x^2), 1e-12) — the per-row factor of the
+    cosine denominator, hoisted out of the pair loop."""
+    return F.greatest(
+        F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x)),
+        F.lit(1e-12),
+    )
+
+
 def _collect_bounded_queries(queries: DataFrame, vec_col: str, max_queries: int):
     """Collect the (query_id, vector) rows that every numpy kernel
     broadcasts, enforcing the shared driver-OOM cap — one guard for
@@ -80,13 +135,25 @@ def brute_force_topk(
     ties by ascending neighbor id, so their outputs are identical
     row-for-row (asserted by tests)."""
     if kernel == "jvm":
+        # norms once per side BEFORE the pair join (they were recomputed
+        # per pair); dot unrolled into codegen when the dim is uniform
+        dim = _probe_dim(embeddings, vec_col)
         q = queries.select(
-            F.col("query_id"), F.col(vec_col).alias("qvec")
+            F.col("query_id"), F.col(vec_col).alias("qvec"),
+            _clamped_norm(vec_col).alias("_qn"),
         )
         scored = (
-            embeddings.select(F.col(id_col), F.col(vec_col))
+            embeddings.select(
+                F.col(id_col), F.col(vec_col), _clamped_norm(vec_col).alias("_cn")
+            )
             .join(F.broadcast(q))
-            .withColumn("cosine", F.round(_cosine(vec_col, "qvec"), 6))
+            .withColumn(
+                "cosine",
+                F.round(
+                    _dot_pair(vec_col, "qvec", dim) / (F.col("_cn") * F.col("_qn")),
+                    6,
+                ),
+            )
             .filter(F.col("query_id") != F.col(id_col))
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
@@ -127,7 +194,10 @@ def brute_force_topk(
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            # np.stack on the Arrow-decoded row arrays replaces the
+            # per-row list() round-trip (identical float64 values,
+            # ~10x less conversion overhead per batch — r7)
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
             Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
             raw = Xn @ qn.T                           # (batch, nq)
             scores = _round_half_up6(raw)
@@ -200,11 +270,18 @@ def _numpy_pair_rerank(
     from pyspark.sql import types as T
 
     q_rows = _collect_bounded_queries(queries, vec_col, max_queries)
-    qmap = {}
-    for r in q_rows:
-        v = np.asarray(list(r["qvec"]), dtype=np.float64)
-        qmap[r["query_id"]] = v / max(np.linalg.norm(v), 1e-12)
-    bc = cand.sparkSession.sparkContext.broadcast(qmap)
+    # sorted-id + matrix form: the per-pair dict lookup becomes one
+    # vectorized searchsorted per batch (identical vectors — r7)
+    q_ids = np.array(sorted(r["query_id"] for r in q_rows))
+    qmat = np.empty((len(q_rows), 0))
+    if q_rows:
+        by_id = {r["query_id"]: r for r in q_rows}
+        vecs = []
+        for qid in q_ids:
+            v = np.asarray(list(by_id[qid]["qvec"]), dtype=np.float64)
+            vecs.append(v / max(np.linalg.norm(v), 1e-12))
+        qmat = np.stack(vecs)
+    bc = cand.sparkSession.sparkContext.broadcast((q_ids, qmat))
 
     out_schema = T.StructType([
         T.StructField("query_id", queries.schema["query_id"].dataType),
@@ -213,13 +290,13 @@ def _numpy_pair_rerank(
     ])
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qm = bc.value
+        ids_b, qm = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
             Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-            Q = np.array([qm[q] for q in pdf["query_id"]])
+            Q = qm[np.searchsorted(ids_b, pdf["query_id"].to_numpy())]
             cos = _round_half_up6(np.einsum("ij,ij->i", Xn, Q))
             yield pd.DataFrame({
                 "query_id": pdf["query_id"].values,
@@ -245,7 +322,16 @@ def random_hyperplanes(dim: int, n_planes: int = 12, seed: int = 42) -> list[lis
 
 
 def hyperplane_bucket(vec_col: str, planes: list[list[float]]):
-    """LSH bucket key: sign bits of <v, plane_i> packed into a long."""
+    """LSH bucket key: sign bits of <v, plane_i> packed into a long.
+
+    Kept in aggregate/zip_with HOF form on purpose: an r7 experiment
+    unrolling each projection into literal element terms (plus the HOF
+    fallback branch for ragged rows) blew the expression tree up to
+    thousands of nodes per bucketing pass, ~tripling wall-clock via
+    optimizer + codegen cost (ann_lsh 2.4s -> 6.3s at sf1.0); the
+    bucketing pass is O(corpus), not O(pairs), so interpreted HOF is
+    the cheaper regime here. The unroll stays where it pays: the
+    per-PAIR dot (_dot_pair)."""
     key = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         proj = F.aggregate(
@@ -277,6 +363,10 @@ def lsh_topk(
     queries_b = queries.select(
         "query_id", F.col(vec_col).alias("qvec")
     ).withColumn("bucket", hyperplane_bucket("qvec", planes))
+    if kernel == "jvm":
+        # per-row norms hoisted out of the candidate pair loop (r7)
+        corpus_b = corpus_b.withColumn("_cn", _clamped_norm(vec_col))
+        queries_b = queries_b.withColumn("_qn", _clamped_norm("qvec"))
 
     cand = (
         corpus_b.join(F.broadcast(queries_b), "bucket")
@@ -287,7 +377,13 @@ def lsh_topk(
                                   max_queries=max_queries)
     if kernel != "jvm":
         raise ValueError(f"kernel must be 'jvm' or 'numpy', got {kernel!r}")
-    scored = cand.withColumn("cosine", F.round(_cosine(vec_col, "qvec"), 6))
+    # dim is a caller contract here (it sized the planes) — no probe job
+    scored = cand.withColumn(
+        "cosine",
+        F.round(
+            _dot_pair(vec_col, "qvec", dim) / (F.col("_cn") * F.col("_qn")), 6
+        ),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -374,7 +470,10 @@ def ivf_centroids(
 
 def _cell_scores(vec_col: str, centroids: list[list[float]]):
     """Array of <v, centroid_c> dot products (centroids unit-norm, so
-    argmax dot == argmax cosine)."""
+    argmax dot == argmax cosine). HOF form on purpose — see
+    hyperplane_bucket's note: callers duplicate this array expression
+    (array_position(scores, array_max(scores))), so the unrolled form
+    doubled a multi-thousand-node tree and regressed 2x."""
     return F.array(*[
         F.aggregate(
             F.zip_with(vec_col, F.array(*[F.lit(float(x)) for x in c]),
@@ -408,6 +507,10 @@ def ivf_topk(
     corpus = embeddings.withColumn(
         "cell", F.array_position(scores, F.array_max(scores)).cast("int")
     )
+    if kernel == "jvm":
+        # norm once per corpus row, BEFORE the cell join fans each row
+        # out to every query probing its cell (r7)
+        corpus = corpus.withColumn("_cn", _clamped_norm(vec_col))
     qs = queries.select(
         "query_id", F.col(vec_col).alias("qvec")
     ).withColumn("scores", _cell_scores("qvec", centroids))
@@ -428,9 +531,24 @@ def ivf_topk(
                                   max_queries=max_queries)
     if kernel != "jvm":
         raise ValueError(f"kernel must be 'jvm' or 'numpy', got {kernel!r}")
+    # centroid dimensionality doubles as the unroll dim — no probe job
+    pair_dim = len(centroids[0]) if centroids else None
     scored = (
-        cand.join(F.broadcast(qs.select("query_id", "qvec")), "query_id")
-        .withColumn("cosine", F.round(_cosine(vec_col, "qvec"), 6))
+        cand
+        .join(
+            F.broadcast(
+                qs.select("query_id", "qvec", _clamped_norm("qvec").alias("_qn"))
+            ),
+            "query_id",
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot_pair(vec_col, "qvec", pair_dim)
+                / (F.col("_cn") * F.col("_qn")),
+                6,
+            ),
+        )
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
     return (
