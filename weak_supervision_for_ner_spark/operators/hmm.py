@@ -84,10 +84,14 @@ def viterbi_pass(log_start, log_trans, framelogprob):
     T_len = len(framelogprob)
     delta = log_start + framelogprob[0]
     backptr = np.empty((T_len, N_STATES), dtype=np.int32)
+    # preallocated score buffer + index row: identical arithmetic, no
+    # per-step (K, K) allocation (r7)
+    scores = np.empty_like(log_trans)
+    idx = np.arange(N_STATES)
     for t in range(1, T_len):
-        scores = delta[:, None] + log_trans
+        np.add(delta[:, None], log_trans, out=scores)
         backptr[t] = scores.argmax(axis=0)
-        delta = scores[backptr[t], np.arange(N_STATES)] + framelogprob[t]
+        delta = scores[backptr[t], idx] + framelogprob[t]
     path = np.empty(T_len, dtype=np.int32)
     path[-1] = int(delta.argmax())
     for t in range(T_len - 2, -1, -1):
@@ -245,6 +249,32 @@ class HMMAggregator:
 
     # -- likelihood / EM -------------------------------------------------
 
+    def _emission_log_cache(self):
+        """(log B[:, :, 0], its source-sum) — recomputed only when the
+        emission tensor object changes (per EM iteration / per task),
+        not per document: np.log of the 37x77 slice plus two errstate
+        context switches per doc were ~15% of framelogprob (r7)."""
+        ep = self.emission_probs
+        cache = getattr(self, "_logB0_cache", None)
+        if cache is None or cache[0] is not ep:
+            with np.errstate(divide="ignore"):
+                logB0 = np.log(ep[:, :, 0])  # (S, K)
+            cache = (ep, logB0, logB0.sum(axis=0))
+            self._logB0_cache = cache
+        return cache[1], cache[2]
+
+    def _log_start_trans(self):
+        """Cached (log startprob, log transmat) for Viterbi decode —
+        the decode pass is stateless, so these are per-task constants
+        that were being re-logged per document (6k np.log calls/doc)."""
+        sp, tm = self.startprob_, self.transmat_
+        cache = getattr(self, "_lst_cache", None)
+        if cache is None or cache[0] is not sp or cache[1] is not tm:
+            with np.errstate(divide="ignore"):
+                cache = (sp, tm, np.log(sp), np.log(tm))
+            self._lst_cache = cache
+        return cache[2], cache[3]
+
     def framelogprob(self, X: np.ndarray) -> np.ndarray:
         """log Σ_sources X·emissionᵀ with masked -inf and the
         zero-observation constraint (labelling.py:434-448).
@@ -254,15 +284,16 @@ class HMMAggregator:
         log B[s][:, 0]; only cells actually covered by a span (col 0
         zeroed, extract_sequence) pay a matvec + correction."""
         T_len = len(X)
-        with np.errstate(divide="ignore"):
-            logB0 = np.log(self.emission_probs[:, :, 0])  # (S, K)
-        frame = np.tile(logB0.sum(axis=0), (T_len, 1))
+        logB0, logB0_sum = self._emission_log_cache()
+        frame = np.tile(logB0_sum, (T_len, 1))
         active = X[:, :, 0] == 0  # (T, S): span-covered cells
         for s in np.nonzero(active.any(axis=0))[0]:
             rows = np.nonzero(active[:, s])[0]
             probs = X[rows, s, :].astype(np.float64) @ self.emission_probs[s].T
-            with np.errstate(divide="ignore"):
-                lp = np.where(probs > 0, np.log(np.maximum(probs, 1e-300)), _NINF)
+            # no errstate needed: the argument is clamped >= 1e-300, so
+            # np.log cannot warn; values are identical to the previous
+            # context-managed form
+            lp = np.where(probs > 0, np.log(np.maximum(probs, 1e-300)), _NINF)
             frame[rows] += lp - logB0[s]
         observed = X.sum(axis=1).astype(bool)
         return np.where(observed, frame, _NINF)
@@ -364,10 +395,13 @@ class HMMAggregator:
         (labelling.py:291-311)."""
         X = self._apply_source_mask(X)
         frame = self.framelogprob(X)
-        with np.errstate(divide="ignore"):
-            _, path = viterbi_pass(np.log(self.startprob_), np.log(self.transmat_), frame)
-        proba = np.exp(frame - _logsumexp(frame, axis=1)[:, None])
-        confidences = proba[np.arange(len(X)), path]
+        log_start, log_trans = self._log_start_trans()
+        _, path = viterbi_pass(log_start, log_trans, frame)
+        # only the chosen path's cells need exponentiating: exp applied
+        # to the same (frame - logsumexp) values the full (T, K) proba
+        # matrix held, so the confidences are bit-identical
+        lse = _logsumexp(frame, axis=1)
+        confidences = np.exp(frame[np.arange(len(X)), path] - lse)
         return path, confidences
 
     # -- persistence ------------------------------------------------------
@@ -442,7 +476,13 @@ class HMMAggregator:
         with a logged warning mirroring hmmlearn's monitor, and
         ``n_iter`` caps the loop either way.
         """
-        annotated = annotated.select("tokens", "spans")
+        # the fit passes need only the token COUNT and the span rows:
+        # projecting the token strings out here keeps them off the
+        # Arrow boundary for the prior pass and every EM iteration
+        # (guide §4.1: pass only the columns the function needs)
+        annotated = annotated.select(
+            F.size("tokens").alias("n_tokens"), "spans"
+        )
 
         start_iter = 0
         if resume and checkpoint_dir:
@@ -496,17 +536,17 @@ class HMMAggregator:
                 trans = np.zeros((N_STATES, N_STATES))
                 obs = np.zeros((N_SOURCES, N_STATES, N_STATES))
                 for pdf in batches:
-                    for tokens, spans in zip(pdf["tokens"], pdf["spans"]):
-                        if len(tokens) == 0:
+                    for n_toks, spans in zip(pdf["n_tokens"], pdf["spans"]):
+                        if n_toks == 0:
                             continue
-                        X = sequence_from_spans(list(spans), len(tokens))
+                        X = sequence_from_spans(list(spans), int(n_toks))
                         lp, st, tr, ob = model.e_step(X)
                         logprob += lp
                         start += st
                         trans += tr
                         obs += ob
                         n_docs += 1
-                        n_tokens += len(tokens)
+                        n_tokens += int(n_toks)
                 yield pd.DataFrame({
                     "logprob": [logprob], "n_docs": [n_docs], "n_tokens": [n_tokens],
                     "start": [start.tobytes()], "trans": [trans.tobytes()],
@@ -643,10 +683,10 @@ def _collect_prior_counts(
         trans = np.zeros((N_STATES, N_STATES))
         obs = np.zeros((N_SOURCES, N_STATES))
         for pdf in batches:
-            for tokens, spans in zip(pdf["tokens"], pdf["spans"]):
-                if len(tokens) == 0:
+            for n_toks, spans in zip(pdf["n_tokens"], pdf["spans"]):
+                if n_toks == 0:
                     continue
-                X = sequence_from_spans(list(spans), len(tokens))
+                X = sequence_from_spans(list(spans), int(n_toks))
                 if excluded is not None and len(excluded):
                     X[:, excluded, :] = 0.0
                     X[:, excluded, 0] = 1.0
