@@ -34,13 +34,16 @@ _TABLES = [
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "documents":
+    if name in ("documents", "embeddings"):
         # the test tables ship as ONE small parquet file (one row group
         # = one unsplittable scan task), which would serialize the
-        # CPU-heavy map work (tokenize/md5/shingle) of every dedup/
-        # textstats query onto a single core; a cheap repartition of
-        # the sub-MB table spreads it. Real corpora arrive in many
-        # splits, so production readers skip this.
+        # CPU-heavy map work of every dedup/textstats query (tokenize/
+        # md5/shingle over documents) — and, found in r7, the ENTIRE
+        # pair-scoring loop of every ANN query (brute/LSH/IVF all
+        # stream the embeddings side through the join) — onto one or
+        # two cores of 32. A cheap repartition of the sub-MB table
+        # spreads it. Real corpora arrive in many splits, so
+        # production readers skip this.
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
