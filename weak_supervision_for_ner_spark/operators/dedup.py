@@ -313,8 +313,15 @@ def simhash_near_pairs(
     chunks = sh.select(
         "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("ck")
     ).select("doc_id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    # MERGE hint (r7): left to the planner, the self-join broadcasts
+    # one side, whose build is a SECOND full computation of the token
+    # explode + fingerprint aggregation (the broadcast subtree cannot
+    # reuse the other side's shuffle stage). Forcing a shuffle join
+    # makes both sides identical exchange subtrees — computed once,
+    # reused (guide §2.4) — and sort-merge spills gracefully under a
+    # mega-bucket. Measured at sf1.0: 4.0s -> 2.1s, same rows.
     pairs = (
-        chunks.alias("l").join(chunks.alias("r"), ["chunk", "key"])
+        chunks.alias("l").join(chunks.alias("r").hint("merge"), ["chunk", "key"])
         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(
             F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"),
