@@ -448,6 +448,10 @@ class HMMAggregator:
 
     # -- Spark driver loop -------------------------------------------------
 
+    @staticmethod
+    def _is_encoded(df: DataFrame) -> bool:
+        return "obs_t" in df.columns
+
     def fit_spark(
         self,
         spark: SparkSession,
@@ -476,13 +480,22 @@ class HMMAggregator:
         with a logged warning mirroring hmmlearn's monitor, and
         ``n_iter`` caps the loop either way.
         """
-        # the fit passes need only the token COUNT and the span rows:
-        # projecting the token strings out here keeps them off the
-        # Arrow boundary for the prior pass and every EM iteration
-        # (guide §4.1: pass only the columns the function needs)
-        annotated = annotated.select(
-            F.size("tokens").alias("n_tokens"), "spans"
-        )
+        # the fit passes need only the token COUNT and the observation
+        # payload: projecting the token strings out here keeps them off
+        # the Arrow boundary for the prior pass and every EM iteration
+        # (guide §4.1: pass only the columns the function needs). An
+        # encode_observations() input additionally replaces the span
+        # rows with precomputed sparse tensor cells, so the
+        # layers/specialise/extract chain is not re-run per pass.
+        encoded = self._is_encoded(annotated)
+        if encoded:
+            annotated = annotated.select(
+                "n_tokens", "obs_t", "obs_s", "obs_k", "obs_v"
+            )
+        else:
+            annotated = annotated.select(
+                F.size("tokens").alias("n_tokens"), "spans"
+            )
 
         start_iter = 0
         if resume and checkpoint_dir:
@@ -509,6 +522,7 @@ class HMMAggregator:
             counts = _collect_prior_counts(
                 annotated, self._best_coverage_source_index(), self._excluded,
                 tree_combine=tree_combine, combine_fanin=combine_fanin,
+                encoded=encoded,
             )
             self.initialise(*counts)
             if checkpoint_dir:
@@ -536,10 +550,10 @@ class HMMAggregator:
                 trans = np.zeros((N_STATES, N_STATES))
                 obs = np.zeros((N_SOURCES, N_STATES, N_STATES))
                 for pdf in batches:
-                    for n_toks, spans in zip(pdf["n_tokens"], pdf["spans"]):
+                    for n_toks, payload in _iter_observations(pdf, encoded):
                         if n_toks == 0:
                             continue
-                        X = sequence_from_spans(list(spans), int(n_toks))
+                        X = _materialize_X(payload, n_toks, encoded)
                         lp, st, tr, ob = model.e_step(X)
                         logprob += lp
                         start += st
@@ -604,6 +618,8 @@ class HMMAggregator:
         source_name = self.source_name
         excluded = self._excluded
 
+        encoded = self._is_encoded(annotated)
+
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             sp, tm, ep = params_bc.value
             model = HMMAggregator.__new__(HMMAggregator)
@@ -611,10 +627,12 @@ class HMMAggregator:
             model._excluded = excluded
             for pdf in batches:
                 rows = []
-                for url, tokens, spans in zip(pdf["url"], pdf["tokens"], pdf["spans"]):
-                    if len(tokens) == 0:
+                for url, tokens, (n_toks, payload) in zip(
+                    pdf["url"], pdf["tokens"], _iter_observations(pdf, encoded)
+                ):
+                    if n_toks == 0:
                         continue
-                    X = sequence_from_spans(list(spans), len(tokens))
+                    X = _materialize_X(payload, n_toks, encoded)
                     path, confs = model.label(X)
                     for (s, e), (lab, conf) in decode_biluo(path, confs).items():
                         rows.append((url, source_name, s, e, lab, conf,
@@ -624,7 +642,100 @@ class HMMAggregator:
                     columns=["url", "source", "start", "end", "label", "conf", "text"],
                 )
 
-        return annotated.mapInPandas(run, schema=MENTIONS_SCHEMA)
+        cols = ["url", "tokens", "n_tokens", "obs_t", "obs_s", "obs_k", "obs_v"] \
+            if encoded else ["url", "tokens", "spans"]
+        return annotated.select(*cols).mapInPandas(run, schema=MENTIONS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Precomputed observation encoding (r7): the fit+decode flow re-ran the
+# layers_from_spans -> specialise_layers -> extract_sequence chain once
+# per pass (prior counts, every EM iteration, decode — 4x per doc for
+# the benchmark's fit(2)+decode). encode_observations harvests the
+# sparse cells of the FINAL tensor produced by the reference chain
+# itself (every (t, source, state) where X differs from the all-O
+# default), so reconstruction is exact by construction — asserted
+# cell-for-cell by tests/test_hmm.py::test_encoded_observations_exact.
+# ---------------------------------------------------------------------------
+
+def encode_observations(annotated: DataFrame) -> DataFrame:
+    """annotated(url, tokens, spans) -> (url, tokens, n_tokens,
+    obs_t, obs_s, obs_k, obs_v): the per-doc observation tensor's
+    non-default cells as parallel primitive arrays (Arrow-friendly —
+    struct arrays would decode to per-cell python dicts).
+
+    fit_spark/decode_spark detect the encoded columns and skip the
+    span-to-tensor derivation per pass; persist the encoded frame once
+    and feed it to both."""
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, toks_out, n_tokens = [], [], []
+            ats, ass, aks, avs = [], [], [], []
+            for url, tokens, spans in zip(pdf["url"], pdf["tokens"], pdf["spans"]):
+                n = len(tokens)
+                urls.append(url)
+                toks_out.append(list(tokens))
+                n_tokens.append(n)
+                if n == 0:
+                    for a in (ats, ass, aks, avs):
+                        a.append([])
+                    continue
+                X = sequence_from_spans(list(spans), n)
+                base = np.zeros_like(X)
+                base[:, :, 0] = 1.0
+                t_i, s_i, k_i = np.nonzero(X != base)
+                ats.append(t_i.astype(np.int32))
+                ass.append(s_i.astype(np.int32))
+                aks.append(k_i.astype(np.int32))
+                avs.append(X[t_i, s_i, k_i])
+            yield pd.DataFrame({
+                "url": urls, "tokens": toks_out, "n_tokens": n_tokens,
+                "obs_t": ats, "obs_s": ass, "obs_k": aks, "obs_v": avs,
+            })
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.StringType())),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("obs_t", T.ArrayType(T.IntegerType())),
+        T.StructField("obs_s", T.ArrayType(T.IntegerType())),
+        T.StructField("obs_k", T.ArrayType(T.IntegerType())),
+        T.StructField("obs_v", T.ArrayType(T.FloatType())),
+    ])
+    return annotated.select("url", "tokens", "spans").mapInPandas(enc, schema=schema)
+
+
+def _X_from_cells(n: int, ts, ss, ks, vs) -> np.ndarray:
+    """Rebuild the dense float32 observation tensor from its
+    non-default cells. Cell coordinates are unique (np.nonzero), so
+    the scatter is order-free; values round-trip float32-exact."""
+    X = np.zeros((n, N_SOURCES, N_STATES), dtype=np.float32)
+    X[:, :, 0] = 1.0
+    if len(ts):
+        X[np.asarray(ts, dtype=np.int64), np.asarray(ss, dtype=np.int64),
+          np.asarray(ks, dtype=np.int64)] = np.asarray(vs, dtype=np.float32)
+    return X
+
+
+def _iter_observations(pdf: pd.DataFrame, encoded: bool):
+    """Yield (n_tokens, payload) per row for either input form."""
+    if encoded:
+        for n, t, s, k, v in zip(pdf["n_tokens"], pdf["obs_t"], pdf["obs_s"],
+                                 pdf["obs_k"], pdf["obs_v"]):
+            yield int(n), (t, s, k, v)
+    elif "n_tokens" in pdf.columns:
+        for n, spans in zip(pdf["n_tokens"], pdf["spans"]):
+            yield int(n), spans
+    else:  # decode path on raw annotated rows
+        for tokens, spans in zip(pdf["tokens"], pdf["spans"]):
+            yield len(tokens), spans
+
+
+def _materialize_X(payload, n_toks: int, encoded: bool) -> np.ndarray:
+    if encoded:
+        t, s, k, v = payload
+        return _X_from_cells(n_toks, t, s, k, v)
+    return sequence_from_spans(list(payload), n_toks)
 
 
 def _tree_combine_stats(stats: DataFrame, schema, fanin: int,
@@ -672,6 +783,7 @@ def _tree_combine_stats(stats: DataFrame, schema, fanin: int,
 def _collect_prior_counts(
     annotated: DataFrame, best_source_index: int, excluded: np.ndarray | None = None,
     tree_combine: bool | str = "auto", combine_fanin: int = 32,
+    encoded: bool = False,
 ):
     """One partial-counts row per partition, then (like the E-step) an
     optional tree-combine level: each row is ~78 KB of packed matrices,
@@ -683,10 +795,10 @@ def _collect_prior_counts(
         trans = np.zeros((N_STATES, N_STATES))
         obs = np.zeros((N_SOURCES, N_STATES))
         for pdf in batches:
-            for n_toks, spans in zip(pdf["n_tokens"], pdf["spans"]):
+            for n_toks, payload in _iter_observations(pdf, encoded):
                 if n_toks == 0:
                     continue
-                X = sequence_from_spans(list(spans), int(n_toks))
+                X = _materialize_X(payload, n_toks, encoded)
                 if excluded is not None and len(excluded):
                     X[:, excluded, :] = 0.0
                     X[:, excluded, 0] = 1.0
