@@ -37,6 +37,22 @@ def test_ngram_jaccard(spark, docs):
     assert (1, 4) not in pairs
 
 
+def test_ngram_jaccard_unpackable_ids_match_packed_path(spark, docs):
+    """The r7 packed pair-key fast path must agree with the plain
+    two-column aggregation it replaces: shifting every doc_id negative
+    forces the fallback, and the pair set/values must be the shifted
+    image of the packed path's output."""
+    from weak_supervision_for_ner_spark.operators.dedup import ngram_jaccard_pairs
+
+    packed = {(r["a"], r["b"]): r["jaccard"]
+              for r in ngram_jaccard_pairs(docs, 0.3).collect()}
+    shifted = docs.select((F.col("doc_id") - 10).alias("doc_id"), "text")
+    plain = {(r["a"] + 10, r["b"] + 10): r["jaccard"]
+             for r in ngram_jaccard_pairs(shifted, 0.3).collect()}
+    assert packed == plain
+    assert packed  # non-vacuous
+
+
 def test_minhash_lsh_finds_exact_dups(spark, docs):
     from weak_supervision_for_ner_spark.operators.dedup import minhash_lsh_pairs
 
